@@ -1,0 +1,120 @@
+"""Generic particle-filter core: weight bookkeeping, ESS, resampling.
+
+TPU-native rebuild of the reference's header-only SIR filter template
+(``/root/reference/src/ParticleFilter.hpp``).  The reference stores
+particles as an ``std::vector`` of structs and resamples with a sequential
+cumulative-sum walk; here particles are structure-of-arrays pytrees and
+resampling is a fixed-shape ``cumsum`` + ``searchsorted`` — O(N log N) work
+that XLA maps entirely onto the VPU with no host round-trips, and that
+generalises directly to the distributed (sharded) formulation in
+``slam_eslam_tpu.parallel``.
+
+All functions are pure and jittable; randomness comes from explicit
+``jax.random`` keys (counter-based, splittable — replaces the seeded
+``boost::minstd_rand`` at ``ParticleFilter.hpp:24-32,177``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def weights_sum(weights):
+    """Total weight (``ParticleFilter.hpp:34-39``)."""
+    return jnp.sum(weights)
+
+
+def weights_avg(weights):
+    """Mean weight (``ParticleFilter.hpp:41-44``)."""
+    return jnp.mean(weights)
+
+
+def normalize_weights(weights):
+    """Normalise weights in place; return ``(normalized, ess)``.
+
+    Matches ``ParticleFilter.hpp:46-70`` including the degenerate-sum
+    fallback: when the total weight is <= 0 (or non-finite) every particle
+    is reset to uniform 1/N.  ``ess`` is the effective sample size
+    ``1 / sum(w^2)``.
+    """
+    n = weights.shape[0]
+    total = jnp.sum(weights)
+    uniform = jnp.full_like(weights, 1.0 / n)
+    ok = (total > 0.0) & jnp.isfinite(total)
+    normalized = jnp.where(ok, weights / jnp.where(ok, total, 1.0), uniform)
+    ess = 1.0 / jnp.sum(normalized * normalized)
+    return normalized, ess
+
+
+def effective_sample_size(weights):
+    _, ess = normalize_weights(weights)
+    return ess
+
+
+def _resample_from_positions(weights, positions):
+    """Map stratum positions in [0,1) to particle indices.
+
+    Equivalent to the reference's cumulative-sum walk
+    (``ParticleFilter.hpp:96-105``): index k gets the first particle whose
+    cumulative weight reaches ``positions[k]``.
+    """
+    cumsum = jnp.cumsum(weights)
+    # guard against round-off: force the last cumsum entry to cover 1.0
+    cumsum = cumsum.at[-1].set(jnp.maximum(cumsum[-1], 1.0 + 1e-6))
+    # side="left": first index whose cumulative weight reaches the position,
+    # exactly the reference's ``while (sum_w < sum_r) ++idx`` stopping rule.
+    idx = jnp.searchsorted(cumsum, positions, side="left")
+    return jnp.clip(idx, 0, weights.shape[0] - 1).astype(jnp.int32)
+
+
+def resample_stratified(key, weights, num_samples):
+    """Stratified resampling: one uniform draw per stratum.
+
+    Matches ``ParticleFilter.hpp:85-108``: ``u_k = (k + U_k) / N`` with
+    independent ``U_k ~ U[0,1)``.  Note the reference copies particles
+    *with their (normalised) weights* — resetting to uniform is the
+    caller's choice, as in the reference.
+
+    Returns int32 indices ``[num_samples]`` into the source particle set.
+    """
+    u = jax.random.uniform(key, (num_samples,), dtype=weights.dtype)
+    k = jnp.arange(num_samples, dtype=weights.dtype)
+    positions = (k + u) / num_samples
+    return _resample_from_positions(weights, positions)
+
+
+def resample_systematic(key, weights, num_samples):
+    """Systematic resampling: a single uniform offset for all strata.
+
+    Not in the reference (which offers stratified + multinomial); added
+    because the single-draw variant has the lowest variance and is the
+    natural distributed scheme — every shard can recompute the global
+    stratum positions from one shared scalar draw (see
+    ``parallel/resample.py``).
+    """
+    u = jax.random.uniform(key, (), dtype=weights.dtype)
+    k = jnp.arange(num_samples, dtype=weights.dtype)
+    positions = (k + u) / num_samples
+    return _resample_from_positions(weights, positions)
+
+
+def resample_multinomial(key, weights, num_samples):
+    """Multinomial resampling (``ParticleFilter.hpp:120-148``).
+
+    The reference resets resampled weights to 1/N (``:140``); callers
+    should do the same when using this scheme.
+    """
+    u = jax.random.uniform(key, (num_samples,), dtype=weights.dtype)
+    return _resample_from_positions(weights, u)
+
+
+def best_particle_index(weights):
+    """Argmax weight (``ParticleFilter.hpp:160-173``)."""
+    return jnp.argmax(weights)
+
+
+def take(particles, idx):
+    """Gather a particle pytree by index — the SoA analogue of copying
+    ``Particle`` structs during resampling (``ParticleFilter.hpp:104``)."""
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), particles)

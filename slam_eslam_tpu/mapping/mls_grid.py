@@ -1,0 +1,401 @@
+"""Multi-Level Surface (MLS) grids as dense structure-of-arrays.
+
+TPU-native rebuild of the capability of envire's ``MLSGrid`` /
+``MLSMap`` (external to the reference repo but load-bearing: per-cell
+patch lists with ``{mean, stdev, height, horizontal, update_idx, color}``,
+``toGrid/fromGrid``, ``get(pos, patch)``, ``updateCell``, ``match``,
+``merge`` — consumed at ``/root/reference/src/PoseEstimator.hpp:97-105``,
+``src/EmbodiedSlamFilter.cpp:25-39,212-227``,
+``test/testMap.cpp:236-257,304-317``).
+
+Design (TPU-first, not a translation):
+
+* A grid is a fixed-shape SoA pytree ``[nx, ny, K]`` with ``K`` patch
+  slots per cell and a validity mask — no linked patch lists, no dynamic
+  allocation.  Lookups are batched gathers; updates are batched scatters
+  over *deduplicated* cell indices (points falling into the same cell are
+  Gaussian-fused by a segmented reduction first, so the scatter is
+  collision-free and deterministic).
+
+* Scan maps are not merged grid-to-grid.  The sensor pipeline produces a
+  ``PatchCloud`` (fixed-size list of fused surface patches); per-particle
+  ``match``/``merge`` operate directly on the cloud under the particle's
+  transform.  This keeps the widest fan-out (per-particle map updates,
+  ``EmbodiedSlamFilter.cpp:179-232``) a pure gather/scatter kernel.
+
+Patch-fusion semantics follow envire's update rules: a new measurement
+either (a) Kalman-fuses with a horizontal patch whose mean lies within
+``patch_thickness``, (b) extends a patch vertically when within
+``gap_size``, or (c) occupies a free slot (evicting the least-certain
+patch when the cell is full — the fixed-K overflow policy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "mean", "stdev", "height", "valid", "horizontal", "update_idx",
+        "color", "origin",
+    ],
+    meta_fields=["resolution"],
+)
+@dataclasses.dataclass
+class MLSGrid:
+    """One MLS grid: ``[nx, ny, K]`` patch slots.
+
+    ``origin`` is the world xy of the cell (0, 0) corner (envire's
+    ``offset``; the reference builds grids with offset ``-size/2``,
+    ``EmbodiedSlamFilter.cpp:29-30``).  ``resolution`` is metres per cell
+    (static).  ``height`` is the downward thickness of a patch from its
+    ``mean`` (vertical patches); horizontal patches have height 0.
+    """
+
+    mean: jax.Array        # [nx, ny, K] float32
+    stdev: jax.Array       # [nx, ny, K] float32
+    height: jax.Array      # [nx, ny, K] float32
+    valid: jax.Array       # [nx, ny, K] bool
+    horizontal: jax.Array  # [nx, ny, K] bool
+    update_idx: jax.Array  # [nx, ny, K] int32
+    color: jax.Array       # [nx, ny, K, 3] float32
+    origin: jax.Array      # [2] float32 — world xy of cell (0,0) corner
+    resolution: float      # static
+
+    @property
+    def nx(self):
+        return self.mean.shape[0]
+
+    @property
+    def ny(self):
+        return self.mean.shape[1]
+
+    @property
+    def k(self):
+        return self.mean.shape[2]
+
+    @staticmethod
+    def create(nx, ny, resolution, origin=(0.0, 0.0), k=4, dtype=jnp.float32):
+        shape = (nx, ny, k)
+        return MLSGrid(
+            mean=jnp.zeros(shape, dtype),
+            stdev=jnp.zeros(shape, dtype),
+            height=jnp.zeros(shape, dtype),
+            valid=jnp.zeros(shape, bool),
+            horizontal=jnp.ones(shape, bool),
+            update_idx=jnp.zeros(shape, jnp.int32),
+            color=jnp.zeros(shape + (3,), dtype),
+            origin=jnp.asarray(origin, dtype),
+            resolution=float(resolution),
+        )
+
+    # ---- coordinate transforms (envire toGrid/fromGrid) ----
+
+    def to_grid(self, xy):
+        """World xy [..., 2] -> (ix, iy, in_bounds). Cells are floor-indexed."""
+        rel = (xy - self.origin) / self.resolution
+        ix = jnp.floor(rel[..., 0]).astype(jnp.int32)
+        iy = jnp.floor(rel[..., 1]).astype(jnp.int32)
+        inb = (ix >= 0) & (ix < self.nx) & (iy >= 0) & (iy < self.ny)
+        return ix, iy, inb
+
+    def from_grid(self, ix, iy):
+        """Cell index -> world xy of the cell centre."""
+        return (
+            jnp.stack([ix, iy], axis=-1).astype(self.mean.dtype) + 0.5
+        ) * self.resolution + self.origin
+
+    def clear(self):
+        return dataclasses.replace(
+            self,
+            valid=jnp.zeros_like(self.valid),
+            update_idx=jnp.zeros_like(self.update_idx),
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["xy", "z", "stdev", "valid"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class PatchCloud:
+    """Fixed-size list of fused surface patches (local frame).
+
+    The TPU-native stand-in for the reference's intermediate ``scanMap``
+    MLS grid (``EmbodiedSlamFilter.cpp:137-160``): the projection
+    pipeline fuses sensor points per cell and emits one patch per
+    occupied cell.  ``match``/``merge`` consume it directly.
+    """
+
+    xy: jax.Array     # [P, 2] float32
+    z: jax.Array      # [P]    float32
+    stdev: jax.Array  # [P]    float32
+    valid: jax.Array  # [P]    bool
+
+    @property
+    def p(self):
+        return self.xy.shape[0]
+
+
+# --------------------------------------------------------------------------
+# Patch lookup (the contact-model map callback seam,
+# ContactModel.hpp:115-118 / GridAccess::get, PoseEstimator.hpp:97-105)
+# --------------------------------------------------------------------------
+
+def get_patch(grid: MLSGrid, points, z_window=3.0):
+    """Batched patch lookup.
+
+    ``points``: [..., 3] world/grid-local positions.  For each point:
+    find the valid patch in its cell whose mean is nearest to the query z
+    within ``z_window`` (the reference passes 3.0 through
+    ``MLSMap::getPatch``, ``src/PoseEstimator.hpp:101``).
+
+    Returns ``(found [...], mean [...], stdev [...], color [..., 3])``.
+    """
+    ix, iy, inb = grid.to_grid(points[..., :2])
+    cix = jnp.where(inb, ix, 0)
+    ciy = jnp.where(inb, iy, 0)
+    means = grid.mean[cix, ciy]            # [..., K]
+    stdevs = grid.stdev[cix, ciy]
+    valids = grid.valid[cix, ciy]
+    colors = grid.color[cix, ciy]          # [..., K, 3]
+
+    z = points[..., 2:3]
+    dist = jnp.abs(means - z)
+    cand = valids & (dist <= z_window)
+    dist = jnp.where(cand, dist, jnp.inf)
+    best = jnp.argmin(dist, axis=-1)       # [...]
+    found = inb & jnp.any(cand, axis=-1)
+
+    take = partial(jnp.take_along_axis, indices=best[..., None], axis=-1)
+    mean = take(means)[..., 0]
+    stdev = take(stdevs)[..., 0]
+    color = jnp.take_along_axis(colors, best[..., None, None], axis=-2)[..., 0, :]
+    return found, mean, stdev, color
+
+
+# --------------------------------------------------------------------------
+# Patch insertion / fusion
+# --------------------------------------------------------------------------
+
+def _dedup_fuse(ix, iy, z, var, mask, nx, ny):
+    """Gaussian-fuse points that land in the same cell.
+
+    Sorts by linear cell id and segment-reduces inverse-variance-weighted
+    sums, leaving exactly one surviving (masked-in) entry per occupied
+    cell.  Fixed shape [P]; fully on-device.
+    """
+    p = ix.shape[0]
+    lin = jnp.where(mask, ix * ny + iy, nx * ny)  # invalid -> sentinel
+    order = jnp.argsort(lin)
+    lin_s = lin[order]
+    z_s = z[order]
+    var_s = var[order]
+    mask_s = mask[order]
+
+    # segment ids over runs of equal cell
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # [P] in [0, P)
+
+    w = jnp.where(mask_s, 1.0 / jnp.maximum(var_s, 1e-12), 0.0)
+    wsum = jax.ops.segment_sum(w, seg, num_segments=p)
+    zsum = jax.ops.segment_sum(w * z_s, seg, num_segments=p)
+    fused_z = zsum / jnp.maximum(wsum, 1e-30)
+    fused_var = 1.0 / jnp.maximum(wsum, 1e-30)
+
+    keep = first & mask_s
+    return (
+        ix[order], iy[order],
+        fused_z[seg], fused_var[seg],
+        keep, order,
+    )
+
+
+def scatter_fuse_cells(
+    arrays, ix, iy, z, var, keep, update_idx,
+    patch_thickness=0.1, gap_size=1.5, x_oob=None,
+):
+    """Fuse one measurement per (unique) cell into K patch slots.
+
+    ``arrays`` is the dict of grid SoA fields shaped ``[X, ny, K]``
+    (``X`` may be a flattened block*nx axis — the map pool reuses this
+    core over its whole block pool).  ``(ix, iy)`` must be unique among
+    ``keep`` entries (use ``_dedup_fuse``); dropped entries scatter
+    out-of-bounds (``x_oob``) and are discarded.
+    """
+    if x_oob is None:
+        x_oob = arrays["mean"].shape[0]
+    k = arrays["mean"].shape[2]
+
+    gix = jnp.where(keep, ix, 0)
+    giy = jnp.where(keep, iy, 0)
+    means = arrays["mean"][gix, giy]          # [P, K]
+    stdevs = arrays["stdev"][gix, giy]
+    heights = arrays["height"][gix, giy]
+    valids = arrays["valid"][gix, giy]
+    horiz = arrays["horizontal"][gix, giy]
+    uidx = arrays["update_idx"][gix, giy]
+
+    zc = z[:, None]
+    dist = jnp.abs(means - zc)
+
+    # (a) Kalman fusion with nearest horizontal patch within thickness
+    fuse_cand = valids & horiz & (dist <= patch_thickness)
+    fuse_dist = jnp.where(fuse_cand, dist, jnp.inf)
+    fuse_slot = jnp.argmin(fuse_dist, axis=-1)
+    can_fuse = jnp.any(fuse_cand, axis=-1)
+
+    # (b) vertical extension within gap
+    gap_cand = valids & (dist <= gap_size)
+    gap_dist = jnp.where(gap_cand, dist, jnp.inf)
+    gap_slot = jnp.argmin(gap_dist, axis=-1)
+    can_gap = jnp.any(gap_cand, axis=-1) & ~can_fuse
+
+    # (c) insertion: free slot, else evict max-stdev patch
+    free_slot = jnp.argmax(~valids, axis=-1)
+    has_free = jnp.any(~valids, axis=-1)
+    evict_slot = jnp.argmax(jnp.where(valids, stdevs, -jnp.inf), axis=-1)
+    ins_slot = jnp.where(has_free, free_slot, evict_slot)
+    do_insert = ~can_fuse & ~can_gap
+
+    slot = jnp.where(can_fuse, fuse_slot, jnp.where(can_gap, gap_slot, ins_slot))
+    onehot = jax.nn.one_hot(slot, k, dtype=bool)               # [P, K]
+
+    sel = lambda a: jnp.take_along_axis(a, slot[:, None], axis=-1)[:, 0]
+    m0, s0, h0 = sel(means), sel(stdevs), sel(heights)
+
+    # fused values per branch
+    w1 = 1.0 / jnp.maximum(s0 * s0, 1e-12)
+    w2 = 1.0 / jnp.maximum(var, 1e-12)
+    fuse_mean = (m0 * w1 + z * w2) / (w1 + w2)
+    fuse_stdev = jnp.sqrt(1.0 / (w1 + w2))
+
+    top = jnp.maximum(m0, z)
+    bottom = jnp.minimum(m0 - h0, z)
+    gap_mean = top
+    gap_height = top - bottom
+    gap_stdev = jnp.minimum(s0, jnp.sqrt(var))
+
+    new_mean = jnp.where(can_fuse, fuse_mean, jnp.where(can_gap, gap_mean, z))
+    new_stdev = jnp.where(
+        can_fuse, fuse_stdev, jnp.where(can_gap, gap_stdev, jnp.sqrt(var))
+    )
+    new_height = jnp.where(can_fuse, h0, jnp.where(can_gap, gap_height, 0.0))
+    new_horiz = jnp.where(can_fuse, True, jnp.where(can_gap, False, True))
+
+    upd = onehot & keep[:, None]
+    means = jnp.where(upd, new_mean[:, None], means)
+    stdevs = jnp.where(upd, new_stdev[:, None], stdevs)
+    heights = jnp.where(upd, new_height[:, None], heights)
+    valids = valids | upd
+    horiz = jnp.where(upd, new_horiz[:, None], horiz)
+    uidx = jnp.where(upd, jnp.int32(update_idx), uidx)
+
+    # collision-free scatter: surviving entries have unique cells; dropped
+    # entries write out-of-bounds and are discarded.
+    six = jnp.where(keep, ix, x_oob)
+    scat = lambda dst, val: dst.at[six, giy].set(val, mode="drop")
+    return {
+        "mean": scat(arrays["mean"], means),
+        "stdev": scat(arrays["stdev"], stdevs),
+        "height": scat(arrays["height"], heights),
+        "valid": scat(arrays["valid"], valids),
+        "horizontal": scat(arrays["horizontal"], horiz),
+        "update_idx": scat(arrays["update_idx"], uidx),
+    }
+
+
+def merge_points(grid: MLSGrid, xy, z, stdev, mask, update_idx,
+                 patch_thickness=0.1, gap_size=1.5):
+    """Scatter-fuse a batch of surface measurements into the grid.
+
+    The TPU equivalent of looping ``MLSGrid::updateCell`` over projected
+    points (``test/testMap.cpp:304-317``, envire ``MLSProjection``):
+
+    1. points are bucketed by cell and Gaussian-fused per cell,
+    2. each occupied cell resolves against its K patch slots:
+       Kalman-fuse into a horizontal patch within ``patch_thickness``,
+       else vertically extend a patch within ``gap_size``,
+       else claim a free slot (evicting the least-certain patch if full).
+
+    ``update_idx`` is stamped on touched patches (scan-merge bookkeeping,
+    ``EmbodiedSlamFilter.cpp:212-213``).  Returns the updated grid.
+    """
+    ix, iy, inb = grid.to_grid(xy)
+    mask = mask & inb
+    var = stdev * stdev
+    ix, iy, z, var, keep, order = _dedup_fuse(
+        ix, iy, z, var, mask, grid.nx, grid.ny
+    )
+    arrays = {
+        "mean": grid.mean, "stdev": grid.stdev, "height": grid.height,
+        "valid": grid.valid, "horizontal": grid.horizontal,
+        "update_idx": grid.update_idx,
+    }
+    out = scatter_fuse_cells(
+        arrays, ix, iy, z, var, keep, update_idx,
+        patch_thickness=patch_thickness, gap_size=gap_size,
+    )
+    return dataclasses.replace(grid, **out)
+
+
+# --------------------------------------------------------------------------
+# Scan-cloud match / merge (per-particle map operations,
+# EmbodiedSlamFilter::processMap, EmbodiedSlamFilter.cpp:179-232)
+# --------------------------------------------------------------------------
+
+def match_cloud(grid: MLSGrid, cloud: PatchCloud, rot2d, trans, z_offset,
+                offset_stdev, sampling=10, sigma=0.2, z_window=3.0):
+    """Scan-to-map consistency score in [0, 1].
+
+    Re-derivation of envire ``MLSGrid::match(other, T, offset, sampling,
+    sigma)`` (consumed at ``EmbodiedSlamFilter.cpp:214-221``): every
+    ``sampling``-th cloud patch is transformed into the grid frame
+    (rotated by ``rot2d``, translated by ``trans``, lifted by
+    ``z_offset`` = the particle's zPos), looked up, and scored with a
+    Gaussian on the height residual; the score is the mean over sampled
+    patches (missing patches score 0).  ``offset_stdev`` (the particle's
+    zSigma) widens the residual variance.
+    """
+    p = cloud.p
+    sample_mask = (jnp.arange(p) % sampling) == 0
+    m = cloud.valid & sample_mask
+
+    xy_g = cloud.xy @ rot2d.T + trans
+    z_g = cloud.z + z_offset
+    pts = jnp.concatenate([xy_g, z_g[:, None]], axis=-1)
+    found, mean, stdev, _ = get_patch(grid, pts, z_window)
+
+    var = sigma * sigma + stdev * stdev + cloud.stdev**2 + offset_stdev**2
+    resid = z_g - mean
+    score = jnp.exp(-0.5 * resid * resid / var)
+    score = jnp.where(m & found, score, 0.0)
+    n = jnp.maximum(jnp.sum(m), 1)
+    return jnp.sum(score) / n
+
+
+def merge_cloud(grid: MLSGrid, cloud: PatchCloud, rot2d, trans, z_offset,
+                offset_stdev, update_idx, patch_thickness=0.1, gap_size=1.5):
+    """Merge a scan cloud into the grid under a particle transform.
+
+    Equivalent of ``MLSGrid::merge(scanMap, C_s2p, offsetPatch)``
+    (``EmbodiedSlamFilter.cpp:222-227``): patches are shifted by the
+    particle's z estimate and their uncertainty widened by its zSigma
+    before fusion.
+    """
+    xy_g = cloud.xy @ rot2d.T + trans
+    z_g = cloud.z + z_offset
+    stdev = jnp.sqrt(cloud.stdev**2 + offset_stdev**2)
+    return merge_points(
+        grid, xy_g, z_g, stdev, cloud.valid, update_idx,
+        patch_thickness=patch_thickness, gap_size=gap_size,
+    )

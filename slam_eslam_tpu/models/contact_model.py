@@ -1,0 +1,313 @@
+"""Terrain-contact measurement model.
+
+TPU-native rebuild of ``eslam::ContactModel``
+(``/root/reference/src/ContactModel.{hpp,cpp}``): the probabilistic
+likelihood of a particle pose given the robot's kinematic contact-point
+candidates and an MLS elevation map.
+
+The reference walks contact points sequentially per particle, closing
+variable-length "groups" (wheels) as it goes (``ContactModel.cpp:117-224``).
+Here the group loop becomes mask-based segmented reductions over a fixed
+point count ``C`` (see ``BodyContactState.segments``), so the whole model
+is a branch-free vector program that ``vmap``s over particles and runs on
+the VPU; the only gather is the map lookup, injected as a batched
+callback — the same seam the reference uses
+(``ContactModel.hpp:115-118``), which keeps the model unit-testable
+against scripted fake maps and lets the Pallas patch-gather kernel slot in
+underneath.
+
+Numerical note: the contact likelihood ratio pdf/cdf
+(``ContactModel.cpp:104-115``) is evaluated in log space
+(``logpdf - logcdf``) so deep-tail z-values that would underflow boost's
+``cdf`` to 0 (ratio -> inf) stay finite here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+from slam_eslam_tpu.config import ContactModelConfig
+from slam_eslam_tpu.core.state import BodyContactState
+from slam_eslam_tpu.utils import geometry
+
+# contact probability below which a candidate is skipped
+# (fixed in the reference, ContactModel.cpp:136)
+CONTACT_THRESHOLD = 0.2
+
+
+def set_contact_points(state: BodyContactState, orientation):
+    """Rotate contact candidates into the yaw-compensated frame.
+
+    Matches ``ContactModel::setContactPoints`` (``ContactModel.cpp:21-41``):
+    positions are pre-rotated by ``removeYaw(orientation)``; the particle
+    pose later applies only translation + yaw.
+    """
+    q = geometry.remove_yaw(orientation)
+    return dataclasses.replace(
+        state, position=geometry.quat_rotate(q[None, :], state.position)
+    )
+
+
+def lowest_point_per_group(state: BodyContactState):
+    """Per-group lowest contact candidate (``ContactModel.cpp:48-92``).
+
+    Groups are consecutive runs of equal non-negative ``groupId``;
+    ungrouped points (-1) pass through unchanged.  Returns
+    ``(points [C, 3], mask [C])`` where ``mask`` marks one entry per
+    group (the z-lowest) / per ungrouped point; and a per-point
+    ``is_lowest [C]`` contact indicator matching
+    ``updateContactStateUsingLowestPointHeuristic``: grouped points get
+    contact 1 for the selected point and 0 otherwise, ungrouped points
+    keep their contact value.
+    """
+    seg, num_seg = state.segments()
+    z = jnp.where(state.valid, state.position[..., 2], jnp.inf)
+    seg_min = jax.ops.segment_min(z, seg, num_segments=num_seg)
+    is_min = (z == seg_min[seg]) & state.valid
+    # break ties: keep only the first index achieving the min in each run
+    idx = jnp.arange(state.c)
+    first_min = jax.ops.segment_min(
+        jnp.where(is_min, idx, state.c), seg, num_segments=num_seg
+    )
+    is_lowest = (idx == first_min[seg])
+    grouped = state.group_id >= 0
+    new_contact = jnp.where(
+        grouped, is_lowest.astype(state.contact.dtype), state.contact
+    )
+    return state.position, is_lowest & state.valid, new_contact
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "measurement_valid", "weight", "z_delta", "z_var", "pose_var",
+        "n_contacts", "cp_point", "cp_zdiff", "cp_zvar", "cp_prob", "cp_ok",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class ContactEvalResult:
+    """Output of ``evaluate_pose`` (one particle; vmaps to a batch).
+
+    Scalar fields mirror the reference accessors ``getWeight/getZDelta/
+    getZVar`` (``ContactModel.hpp:124-141``) and the internal
+    ``m_poseVar``; ``cp_*`` arrays are the per-group environment contact
+    points (``eslam::ContactPoint``, ``PoseParticle.hpp:20-43``) with a
+    validity mask (fixed segment count = C).
+    """
+
+    measurement_valid: jax.Array  # bool — >= min_contacts groups found
+    weight: jax.Array             # float32 — joint contact probability
+    z_delta: jax.Array            # float32 — proposed z correction
+    z_var: jax.Array              # float32 — variance of the correction
+    pose_var: jax.Array           # float32 — summed map variance (m_poseVar)
+    n_contacts: jax.Array         # int32 — number of contact points
+    cp_point: jax.Array           # [S, 3]
+    cp_zdiff: jax.Array           # [S]
+    cp_zvar: jax.Array            # [S]
+    cp_prob: jax.Array            # [S] terrain/slip probability
+    cp_ok: jax.Array              # [S] bool
+
+
+def contact_likelihood_ratio(z, sigma, correction):
+    """pdf/cdf contact-vs-no-contact ratio (``ContactModel.cpp:104-115``),
+    computed stably in log space."""
+    s = sigma * correction
+    return jnp.exp(norm.logpdf(z, 0.0, s) - norm.logcdf(z, 0.0, s))
+
+
+def evaluate_pose(
+    state: BodyContactState,
+    rot,
+    trans,
+    meas_var,
+    map_lookup,
+    cfg: ContactModelConfig,
+    terrain_prob=None,
+):
+    """Evaluate the contact likelihood of one particle pose.
+
+    Functional equivalent of ``ContactModel::evaluatePose``
+    (``ContactModel.cpp:117-224``) followed by ``evaluateWeight``
+    (``:262-317``):
+
+    * transform candidates to world: ``T * p - (0, 0, r)``,
+    * query the map through ``map_lookup(points [C,3]) ->
+      (found, mean, stdev, color)``,
+    * per group: likelihood-ratio-weighted averaging of ``zdiff``/``zvar``
+      (a group is invalidated when any active member misses the map,
+      ``:189-190``),
+    * precision-weighted z-delta + joint shape probability.
+
+    One documented deviation: the reference stores the *first* queried
+    point of a group as the debug contact-point position
+    (``ContactModel.cpp:174``); we store the max-ratio (dominant) member,
+    which is what the upstream unit tests actually assert
+    (``test/testContactModel.cpp:314-318``).
+
+    ``terrain_prob``: optional ``[C]`` per-point slip/terrain probability
+    (from ``models.terrain``); group products feed ``cp_prob``
+    (``ContactModel.cpp:207-208,226-260``).
+    """
+    # reference guard (ContactModel.cpp:122-123); only checkable for
+    # concrete (non-traced) variances
+    try:
+        if float(meas_var) == 0.0:
+            raise ValueError(
+                "using a zero measurement variance leads to singularities"
+            )
+    except TypeError:
+        pass
+
+    c = state.c
+    seg, num_seg = state.segments()
+
+    active = state.valid & ~(state.contact < CONTACT_THRESHOLD)  # NaN -> active
+
+    world = (state.position @ rot.T + trans) - jnp.array(
+        [0.0, 0.0, cfg.contact_point_radius], dtype=state.position.dtype
+    )
+    found, mean, stdev, color = map_lookup(world)
+
+    zdiff = world[..., 2] - mean
+    pose_var = stdev * stdev
+    zvar = pose_var + meas_var
+    ratio = contact_likelihood_ratio(
+        zdiff, jnp.sqrt(zvar), cfg.contact_likelihood_correction
+    )
+
+    contrib = active & found
+    ratio = jnp.where(contrib, ratio, 0.0)
+
+    # group validity: no active member may miss the map (ContactModel.cpp:189-190)
+    miss = active & ~found
+    group_valid = ~(
+        jax.ops.segment_max(
+            miss.astype(jnp.int32), seg, num_segments=num_seg
+        ).astype(bool)
+    )
+
+    rsum = jax.ops.segment_sum(ratio, seg, num_segments=num_seg)
+    zdiff_sum = jax.ops.segment_sum(ratio * zdiff, seg, num_segments=num_seg)
+    zvar_sum = jax.ops.segment_sum(ratio * zvar, seg, num_segments=num_seg)
+    pvar_sum = jax.ops.segment_sum(ratio * pose_var, seg, num_segments=num_seg)
+    seg_any = jax.ops.segment_max(
+        contrib.astype(jnp.int32), seg, num_segments=num_seg
+    ).astype(bool)
+
+    cp_ok = group_valid & seg_any & (rsum > 1e-9)
+    safe_rsum = jnp.where(cp_ok, rsum, 1.0)
+    cp_zdiff = jnp.where(cp_ok, zdiff_sum / safe_rsum, 0.0)
+    cp_zvar = jnp.where(cp_ok, zvar_sum / safe_rsum, jnp.inf)
+    m_pose_var = jnp.sum(jnp.where(cp_ok, pvar_sum / safe_rsum, 0.0))
+
+    # representative (max-ratio) surface point per group
+    neg_ratio = jnp.where(contrib, ratio, -jnp.inf)
+    seg_maxr = jax.ops.segment_max(neg_ratio, seg, num_segments=num_seg)
+    idx = jnp.arange(c)
+    is_rep = contrib & (neg_ratio == seg_maxr[seg])
+    rep_idx = jax.ops.segment_min(
+        jnp.where(is_rep, idx, c - 1), seg, num_segments=num_seg
+    )
+    rep_idx = jnp.clip(rep_idx, 0, c - 1)
+    surface = jnp.concatenate([world[:, :2], mean[:, None]], axis=-1)
+    cp_point = surface[rep_idx]
+
+    # terrain / slip probability per group (product over members)
+    if terrain_prob is not None:
+        logp = jnp.where(contrib, jnp.log(jnp.maximum(terrain_prob, 1e-30)), 0.0)
+        cp_prob = jnp.exp(
+            jax.ops.segment_sum(logp, seg, num_segments=num_seg)
+        )
+    else:
+        cp_prob = jnp.ones((num_seg,), dtype=world.dtype)
+
+    n_contacts = jnp.sum(cp_ok).astype(jnp.int32)
+    measurement_valid = n_contacts >= cfg.min_contacts
+
+    weight, z_delta, z_var = _evaluate_weight(
+        cp_zdiff, cp_zvar, cp_prob, cp_ok, cfg
+    )
+
+    return ContactEvalResult(
+        measurement_valid=measurement_valid,
+        weight=weight,
+        z_delta=z_delta,
+        z_var=z_var,
+        pose_var=m_pose_var,
+        n_contacts=n_contacts,
+        cp_point=cp_point,
+        cp_zdiff=cp_zdiff,
+        cp_zvar=cp_zvar,
+        cp_prob=cp_prob,
+        cp_ok=cp_ok,
+    )
+
+
+def _evaluate_weight(cp_zdiff, cp_zvar, cp_prob, cp_ok, cfg):
+    """Precision-weighted z-delta + joint probability
+    (``ContactModel::evaluateWeight``, ``ContactModel.cpp:262-317``)."""
+    inv_var = jnp.where(cp_ok, 1.0 / cp_zvar, 0.0)
+    d1 = jnp.sum(jnp.where(cp_ok, cp_zdiff, 0.0) * inv_var)
+    d2 = jnp.sum(inv_var)
+    safe_d2 = jnp.where(d2 > 0, d2, 1.0)
+    delta = d1 / safe_d2
+
+    odiff2 = jnp.where(
+        cp_ok, (cp_zdiff - delta) ** 2 / cp_zvar, 0.0
+    )
+    log_pz = jnp.zeros(())
+    if cfg.use_shape_update:
+        log_pz = log_pz - 0.5 * jnp.sum(odiff2)
+    if cfg.use_slip_update:
+        log_pz = log_pz + jnp.sum(
+            jnp.where(cp_ok, jnp.log(jnp.maximum(cp_prob, 1e-30)), 0.0)
+        )
+    weight = jnp.exp(log_pz)
+
+    z_delta = -delta
+    z_var = jnp.where(d2 > 0, 1.0 / safe_d2, jnp.inf)
+    return weight, z_delta, z_var
+
+
+def evaluate_weight_chitta(cp_zdiff, cp_zvar, cp_ok, meas_var):
+    """Literature-variant weighting (``ChittaContactModel::evaluateWeight``,
+    ``ContactModel.cpp:342-361``): anchor at the minimum zdiff, sum squared
+    residuals of the rest.  Returns ``(weight, z_delta, z_var)``."""
+    zmin = jnp.min(jnp.where(cp_ok, cp_zdiff, jnp.inf))
+    z_delta = -zmin
+    # the anchor contributes (zmin - zmin)^2 = 0, so summing over all
+    # selected points matches the reference's skip-first loop
+    z_t = jnp.sum(jnp.where(cp_ok, (cp_zdiff + z_delta) ** 2, 0.0))
+    weight = jnp.exp(-z_t / (2.0 * meas_var))
+    return weight, z_delta, jnp.asarray(meas_var, cp_zvar.dtype)
+
+
+def update_z_position_estimate(result: ContactEvalResult, z_pos, z_var):
+    """1-D Kalman z update with outlier rejection
+    (``ContactModel::updateZPositionEstimate``, ``ContactModel.cpp:319-340``).
+
+    Returns ``(accepted, new_z_pos, new_z_var)``; on rejection (normalised
+    innovation > 1) the inputs pass through unchanged.
+    """
+    n = jnp.maximum(result.n_contacts, 1).astype(z_pos.dtype)
+    pose_var = result.pose_var / n
+    delta_var = jnp.maximum(z_var - pose_var, 1e-9)
+
+    accepted = jnp.abs(result.z_delta / jnp.sqrt(delta_var)) <= 1.0
+
+    gain = z_var / (z_var + result.z_var)
+    new_z = z_pos + gain * result.z_delta
+    var_gain = delta_var / (delta_var + result.z_var)
+    new_var = pose_var + (1.0 - var_gain) * delta_var
+
+    return (
+        accepted,
+        jnp.where(accepted, new_z, z_pos),
+        jnp.where(accepted, new_var, z_var),
+    )

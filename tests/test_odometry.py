@@ -1,0 +1,155 @@
+"""Tests for contact odometry and the Asguard kinematic fixture."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_eslam_tpu.config import OdometryConfig
+from slam_eslam_tpu.core.state import BodyContactState
+from slam_eslam_tpu.models import asguard
+from slam_eslam_tpu.models import odometry as odom
+from slam_eslam_tpu.utils import geometry
+
+CFG = OdometryConfig()
+
+
+def contact_state(points, contact):
+    return BodyContactState.create(
+        np.asarray(points, np.float32), contact=np.asarray(contact, np.float32)
+    )
+
+
+class TestFootContact:
+    def test_stationary(self):
+        o = odom.FootContactOdometry.create(2)
+        s = contact_state([[0.1, 0, -0.2], [-0.1, 0, -0.2]], [1, 1])
+        q = geometry.quat_identity()
+        o = odom.update(o, s, q, CFG)
+        o = odom.update(o, s, q, CFG)
+        np.testing.assert_allclose(o.delta_xy, [0, 0], atol=1e-6)
+        np.testing.assert_allclose(float(o.delta_yaw), 0, atol=1e-6)
+
+    def test_forward_motion(self):
+        # feet move backward in body frame => body moved forward
+        o = odom.FootContactOdometry.create(2)
+        q = geometry.quat_identity()
+        s1 = contact_state([[0.1, 0.1, -0.2], [-0.1, 0.1, -0.2]], [1, 1])
+        s2 = contact_state([[0.1, 0.0, -0.2], [-0.1, 0.0, -0.2]], [1, 1])
+        o = odom.update(o, s1, q, CFG)
+        o = odom.update(o, s2, q, CFG)
+        np.testing.assert_allclose(o.delta_xy, [0.0, 0.1], atol=1e-6)
+
+    def test_first_update_zero_delta(self):
+        o = odom.FootContactOdometry.create(2)
+        s = contact_state([[0.1, 0.5, -0.2], [-0.1, 0.5, -0.2]], [1, 1])
+        o = odom.update(o, s, geometry.quat_identity(), CFG)
+        np.testing.assert_allclose(o.delta_xy, [0, 0], atol=1e-6)
+
+    def test_only_contact_feet_count(self):
+        o = odom.FootContactOdometry.create(2)
+        q = geometry.quat_identity()
+        s1 = contact_state([[0, 0.1, -0.2], [0, 5.0, 0.5]], [1, 0])
+        s2 = contact_state([[0, 0.0, -0.2], [0, -5.0, 0.5]], [1, 0])
+        o = odom.update(o, s1, q, CFG)
+        o = odom.update(o, s2, q, CFG)
+        np.testing.assert_allclose(o.delta_xy, [0.0, 0.1], atol=1e-6)
+
+    def test_yaw_delta_from_orientation(self):
+        o = odom.FootContactOdometry.create(1)
+        s = contact_state([[0, 0, -0.2]], [1])
+        o = odom.update(o, s, geometry.quat_from_yaw(jnp.asarray(0.1)), CFG)
+        o = odom.update(o, s, geometry.quat_from_yaw(jnp.asarray(0.3)), CFG)
+        np.testing.assert_allclose(float(o.delta_yaw), 0.2, atol=1e-6)
+
+    def test_z_delta_through_pitch(self):
+        # body pitched forward: foot motion along body x maps into world z
+        o = odom.FootContactOdometry.create(1)
+        q = geometry.quat_from_axis_angle(
+            jnp.array([0.0, 1, 0]), jnp.asarray(np.pi / 2)
+        )
+        s1 = contact_state([[0.1, 0, 0]], [1])
+        s2 = contact_state([[0.0, 0, 0]], [1])
+        o = odom.update(o, s1, q, CFG)
+        o = odom.update(o, s2, q, CFG)
+        # removeYaw(pitch 90deg) rotates +x to -z; prev-cur = (0.1,0,0)
+        np.testing.assert_allclose(float(o.delta_z), -0.1, atol=1e-5)
+
+    def test_error_model_grows_with_distance(self):
+        o = odom.FootContactOdometry.create(1)
+        q = geometry.quat_identity()
+        s1 = contact_state([[0, 1.0, -0.2]], [1])
+        s2 = contact_state([[0, 0.0, -0.2]], [1])
+        o = odom.update(o, s1, q, CFG)
+        o = odom.update(o, s2, q, CFG)
+        expect = CFG.const_error_xy + CFG.dist_error_xy * 1.0
+        np.testing.assert_allclose(o.sigma_xy, [expect, expect], rtol=1e-5)
+
+    def test_sample_statistics(self):
+        o = odom.FootContactOdometry.create(1)
+        q = geometry.quat_identity()
+        s1 = contact_state([[0, 0.5, -0.2]], [1])
+        s2 = contact_state([[0, 0.0, -0.2]], [1])
+        o = odom.update(o, s1, q, CFG)
+        o = odom.update(o, s2, q, CFG)
+        dxy, dyaw = odom.pose_delta_samples_2d(o, jax.random.PRNGKey(0), 4000)
+        np.testing.assert_allclose(
+            np.mean(np.asarray(dxy), axis=0), [0.0, 0.5], atol=0.01
+        )
+        np.testing.assert_allclose(
+            np.std(np.asarray(dxy)[:, 1]), float(o.sigma_xy[1]), rtol=0.1
+        )
+        np.testing.assert_allclose(np.mean(np.asarray(dyaw)), 0.0, atol=0.01)
+
+
+class TestAsguard:
+    def test_contact_state_shape(self):
+        cfg = asguard.AsguardConfig()
+        s = cfg.contact_state(np.zeros(4))
+        assert s.c == asguard.NUM_FEET
+        # exactly one contact per wheel
+        con = np.asarray(s.contact).reshape(4, 5)
+        np.testing.assert_array_equal(con.sum(axis=1), [1, 1, 1, 1])
+        gid = np.asarray(s.group_id)
+        np.testing.assert_array_equal(
+            gid, np.repeat(np.arange(4), 5)
+        )
+
+    def test_lowest_foot_down(self):
+        cfg = asguard.AsguardConfig()
+        feet = cfg.foot_positions(np.zeros(4))
+        assert feet[:, 2].min() <= -cfg.wheel_radius + 1e-6
+
+    def test_sim_rolls_forward(self):
+        sim = asguard.AsguardSim()
+        y0 = sim.position[1]
+        for _ in range(20):
+            sim.step(wheel_delta=0.1)
+        assert sim.position[1] > y0 + 0.2, "robot should roll in +y"
+        # feet stay on the ground
+        feet = sim._to_world(sim.config.foot_positions(sim.wheel_pos))
+        assert abs(feet[:, 2].min()) < 1e-6
+
+    def test_sim_with_odometry_tracks_truth(self):
+        # AsguardSim + FootContact odometry: integrated odometry should
+        # track the kinematic ground truth on flat ground (the fixture
+        # pattern of testMap.cpp:85-104)
+        sim = asguard.AsguardSim()
+        o = odom.FootContactOdometry.create(asguard.NUM_FEET)
+        q = geometry.quat_identity()
+        pos = np.zeros(2)
+        o = odom.update(o, sim.contact_state(), q, CFG)
+        for _ in range(30):
+            truth0 = sim.position[:2].copy()
+            sim.step(wheel_delta=0.1)
+            o = odom.update(o, sim.contact_state(), q, CFG)
+            pos += np.asarray(o.delta_xy)
+        err = np.linalg.norm(pos - sim.position[:2])
+        assert err < 0.1, f"odometry drift too large: {err}"
+
+    def test_sim_on_slope(self):
+        sim = asguard.AsguardSim(terrain=lambda x, y: 0.1 * y)
+        for _ in range(20):
+            sim.step(wheel_delta=0.1)
+        # climbing the slope raises the body
+        expected = 0.1 * sim.position[1]
+        assert abs(sim.position[2] - expected) < 0.25
