@@ -1,0 +1,125 @@
+"""Benchmark: full filter step throughput on one TPU chip.
+
+Measures the per-frame main path of the reference pipeline
+(``EmbodiedSlamFilter.cpp:353-369``: odometry + propagate + contact
+weighting + resample) at benchmark scale (default 100k particles vs the
+reference's 250, ``Configuration.hpp:87``), rolled over a trajectory with
+``lax.scan`` so the whole run is one device dispatch.
+
+Prints ONE JSON line: particle-updates/sec/chip.  ``vs_baseline``
+normalises against the BASELINE.md target operating point — 100k
+particles at real-time rate (10 Hz) = 1e6 particle-updates/s.
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=100_000)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--lookup", choices=["gather", "window"], default="window",
+        help="map-lookup path: XLA gather over the full grid, or the "
+        "Pallas VMEM-window kernel (tracking regime)",
+    )
+    args = ap.parse_args()
+
+    from slam_eslam_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from slam_eslam_tpu.config import Config, ContactModelConfig
+    from slam_eslam_tpu.filter import pose_estimator as pe
+    from slam_eslam_tpu.filter import step as steplib
+    from slam_eslam_tpu.mapping.lookup import shared_grid_lookup
+    from slam_eslam_tpu.models import sim as simlib
+    from slam_eslam_tpu.utils import geometry
+
+    n = args.particles
+    cfg = dataclasses.replace(
+        Config(),
+        particle_count=n,
+        min_effective=n // 5,
+        contact_model=ContactModelConfig(contact_point_radius=0.0),
+    )
+
+    def terrain(x, y):
+        return 0.25 * np.sin(1.3 * np.asarray(x)) + 0.2 * np.cos(
+            0.9 * np.asarray(y)
+        )
+
+    # reference-default grid scale: 20 m at 0.05 m resolution
+    # (Configuration.hpp:101-103)
+    grid = simlib.terrain_grid(
+        terrain, nx=400, ny=400, resolution=0.05, origin=(-10.0, -10.0)
+    )
+    if args.lookup == "window":
+        from slam_eslam_tpu.ops.pallas_gather import windowed_grid_lookup
+
+        # 64 cells @ 0.05 m = 3.2 m window: covers the tracking cloud;
+        # stage-1 matmul cost scales with window^2
+        lookup = windowed_grid_lookup(grid, window=64)
+    else:
+        lookup = shared_grid_lookup(grid)
+
+    state = pe.PoseEstimatorState.create(cfg, 20)
+    particles = pe.init_gaussian(
+        jax.random.PRNGKey(0), n, (0.0, 0.0), 0.0, (0.3, 0.3), 0.05, 0.2, 0.3
+    )
+    state = dataclasses.replace(state, particles=particles)
+
+    # pre-generate the input trajectory on host, stack on device
+    sim = simlib.TrajectorySim(terrain, speed=0.05)
+    css, qs = [], []
+    for _ in range(args.steps):
+        (pos, yaw), _ = sim.step()
+        css.append(sim.contact_state(noise=0.005))
+        qs.append(np.asarray(geometry.quat_from_yaw(np.float32(yaw))))
+    contact_states = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *css
+    )
+    orientations = jnp.asarray(np.stack(qs), jnp.float32)
+
+    run = steplib.make_scan_runner(cfg, lookup)
+
+    # compile + warm up
+    t0 = time.time()
+    out_state, cents = run(state, contact_states, orientations)
+    jax.block_until_ready(cents)
+    compile_s = time.time() - t0
+
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.time()
+        out_state, cents = run(state, contact_states, orientations)
+        jax.block_until_ready(cents)
+        best = min(best, time.time() - t0)
+
+    pu_per_s = n * args.steps / best
+    result = {
+        "metric": "particle_updates_per_sec_per_chip",
+        "value": round(pu_per_s, 1),
+        "unit": "particle-updates/s",
+        "vs_baseline": round(pu_per_s / 1.0e6, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {n} particles x {args.steps} steps: best {best:.3f}s "
+        f"(compile+first {compile_s:.1f}s), devices={jax.devices()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

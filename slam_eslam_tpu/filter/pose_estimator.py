@@ -189,15 +189,18 @@ def update_weights(
     rot, trans = p.pose_matrix()
     meas_var = p.z_sigma**2 + cfg.measurement_error**2
 
-    def eval_one(map_id, r, t, mv):
-        return cm.evaluate_pose(
-            cstate, r, t, mv,
-            lambda pts: map_lookup(map_id, pts),
-            cfg.contact_model,
-            terrain_prob=terrain_prob,
-        )
-
-    res = jax.vmap(eval_one)(p.map_id, rot, trans, meas_var)
+    # batched fast path: only the map gather is vmapped; the group
+    # reductions run as one-hot matmuls (see evaluate_pose_batch).
+    # Lookups that handle the full [N, C, 3] batch themselves (shape-
+    # polymorphic or Pallas-windowed) declare ``batched = True``.
+    if getattr(map_lookup, "batched", False):
+        batch_lookup = lambda pts: map_lookup(p.map_id, pts)
+    else:
+        batch_lookup = lambda pts: jax.vmap(map_lookup)(p.map_id, pts)
+    res = cm.evaluate_pose_batch(
+        cstate, rot, trans, meas_var, batch_lookup, cfg.contact_model,
+        terrain_prob=terrain_prob, with_debug_points=cfg.log_debug,
+    )
     valid = res.measurement_valid
 
     # Kalman z update for particles with a valid measurement

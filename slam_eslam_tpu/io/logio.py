@@ -1,0 +1,255 @@
+"""Python bindings for the native log runtime (ctypes over C ABI).
+
+See ``native/eslam_log.cpp`` for the format and the asynchronous feeder
+design.  Encoding/decoding of typed records happens here with NumPy
+structured views — zero-copy on the read path (payload pointers map
+straight into the mmap / feeder slots).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from slam_eslam_tpu.core.state import BodyContactState
+
+CONTACT_STATE = 1
+ORIENTATION = 2
+LASER_SCAN = 3
+POSE = 4
+DISTANCE_IMAGE = 5
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libeslam_log.so")
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+
+
+def _build_native():
+    subprocess.run(
+        ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+    )
+
+
+def _load():
+    if not os.path.exists(_LIB_PATH):
+        _build_native()
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.eslam_log_writer_open.restype = ctypes.c_void_p
+    lib.eslam_log_writer_open.argtypes = [ctypes.c_char_p]
+    lib.eslam_log_writer_append.restype = ctypes.c_int
+    lib.eslam_log_writer_append.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_uint32,
+    ]
+    lib.eslam_log_writer_close.argtypes = [ctypes.c_void_p]
+    lib.eslam_log_reader_open.restype = ctypes.c_void_p
+    lib.eslam_log_reader_open.argtypes = [ctypes.c_char_p]
+    lib.eslam_log_reader_count.restype = ctypes.c_int64
+    lib.eslam_log_reader_count.argtypes = [ctypes.c_void_p]
+    lib.eslam_log_reader_get.restype = ctypes.c_void_p
+    lib.eslam_log_reader_get.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.eslam_log_reader_close.argtypes = [ctypes.c_void_p]
+    lib.eslam_feeder_create.restype = ctypes.c_void_p
+    lib.eslam_feeder_create.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.eslam_feeder_next.restype = ctypes.c_void_p
+    lib.eslam_feeder_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.eslam_feeder_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_lib = None
+
+
+def lib():
+    global _lib
+    if _lib is None:
+        _lib = _load()
+    return _lib
+
+
+# ------------------------------------------------------------------ codecs
+
+_CONTACT_DT = np.dtype(
+    [("position", "<f4", 3), ("contact", "<f4"), ("slip", "<f4"),
+     ("group_id", "<i4")]
+)
+
+
+def encode_contact_state(state: BodyContactState) -> bytes:
+    c = state.c
+    arr = np.empty(c, _CONTACT_DT)
+    arr["position"] = np.asarray(state.position, np.float32)
+    arr["contact"] = np.asarray(state.contact, np.float32)
+    arr["slip"] = np.asarray(state.slip, np.float32)
+    arr["group_id"] = np.asarray(state.group_id, np.int32)
+    return np.uint32(c).tobytes() + arr.tobytes()
+
+
+def decode_contact_state(buf) -> BodyContactState:
+    c = int(np.frombuffer(buf[:4], np.uint32)[0])
+    arr = np.frombuffer(buf[4:4 + c * _CONTACT_DT.itemsize], _CONTACT_DT)
+    return BodyContactState.create(
+        arr["position"].copy(), contact=arr["contact"].copy(),
+        slip=arr["slip"].copy(), group_id=arr["group_id"].copy(),
+    )
+
+
+def encode_orientation(q) -> bytes:
+    return np.asarray(q, np.float32).tobytes()
+
+
+def decode_orientation(buf):
+    return np.frombuffer(buf[:16], np.float32).copy()
+
+
+def encode_scan(ranges, start_angle, angular_resolution) -> bytes:
+    r = np.asarray(ranges, np.float32)
+    return (np.uint32(r.size).tobytes()
+            + np.float32(start_angle).tobytes()
+            + np.float32(angular_resolution).tobytes() + r.tobytes())
+
+
+def decode_scan(buf):
+    n = int(np.frombuffer(buf[:4], np.uint32)[0])
+    start = float(np.frombuffer(buf[4:8], np.float32)[0])
+    res = float(np.frombuffer(buf[8:12], np.float32)[0])
+    ranges = np.frombuffer(buf[12:12 + 4 * n], np.float32).copy()
+    return ranges, start, res
+
+
+def encode_pose(position, quat) -> bytes:
+    return (np.asarray(position, np.float32).tobytes()
+            + np.asarray(quat, np.float32).tobytes())
+
+
+def decode_pose(buf):
+    v = np.frombuffer(buf[:28], np.float32)
+    return v[:3].copy(), v[3:7].copy()
+
+
+# ------------------------------------------------------------------ API
+
+
+class LogWriter:
+    def __init__(self, path):
+        self._h = lib().eslam_log_writer_open(str(path).encode())
+        if not self._h:
+            raise OSError(f"cannot open log for writing: {path}")
+
+    def append(self, rec_type, payload: bytes, timestamp_ns=0):
+        rc = lib().eslam_log_writer_append(
+            self._h, rec_type, timestamp_ns, payload, len(payload)
+        )
+        if rc != 0:
+            raise OSError("log append failed")
+
+    def write_contact_state(self, state, timestamp_ns=0):
+        self.append(CONTACT_STATE, encode_contact_state(state), timestamp_ns)
+
+    def write_orientation(self, q, timestamp_ns=0):
+        self.append(ORIENTATION, encode_orientation(q), timestamp_ns)
+
+    def write_scan(self, ranges, start_angle, angular_resolution,
+                   timestamp_ns=0):
+        self.append(
+            LASER_SCAN, encode_scan(ranges, start_angle, angular_resolution),
+            timestamp_ns,
+        )
+
+    def write_pose(self, position, quat, timestamp_ns=0):
+        self.append(POSE, encode_pose(position, quat), timestamp_ns)
+
+    def close(self):
+        if self._h:
+            lib().eslam_log_writer_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def _payload_view(ptr, size):
+    return ctypes.string_at(ptr, size)
+
+
+class LogReader:
+    def __init__(self, path):
+        self._h = lib().eslam_log_reader_open(str(path).encode())
+        if not self._h:
+            raise OSError(f"cannot open log: {path}")
+
+    def __len__(self):
+        return int(lib().eslam_log_reader_count(self._h))
+
+    def get(self, i):
+        t = ctypes.c_uint32()
+        ts = ctypes.c_uint64()
+        sz = ctypes.c_uint32()
+        ptr = lib().eslam_log_reader_get(
+            self._h, i, ctypes.byref(t), ctypes.byref(ts), ctypes.byref(sz)
+        )
+        if not ptr:
+            raise IndexError(i)
+        return t.value, ts.value, _payload_view(ptr, sz.value)
+
+    def close(self):
+        if self._h:
+            lib().eslam_log_reader_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class AsyncFeeder:
+    """Background-prefetched sequential reads (see C side)."""
+
+    def __init__(self, reader: LogReader, slots=8):
+        self._reader = reader
+        self._h = lib().eslam_feeder_create(reader._h, slots)
+        if not self._h:
+            raise OSError("feeder creation failed")
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        t = ctypes.c_uint32()
+        ts = ctypes.c_uint64()
+        sz = ctypes.c_uint32()
+        ptr = lib().eslam_feeder_next(
+            self._h, ctypes.byref(t), ctypes.byref(ts), ctypes.byref(sz)
+        )
+        if not ptr:
+            raise StopIteration
+        return t.value, ts.value, _payload_view(ptr, sz.value)
+
+    def close(self):
+        if self._h:
+            lib().eslam_feeder_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

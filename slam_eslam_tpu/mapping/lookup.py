@@ -13,12 +13,33 @@ from __future__ import annotations
 from slam_eslam_tpu.mapping import mls_grid
 
 
-def shared_grid_lookup(grid: mls_grid.MLSGrid, z_window=3.0):
+def shared_grid_lookup(grid, z_window=3.0, packed=True):
     """All particles query one shared grid (useSharedMap mode,
-    ``EmbodiedSlamFilter.cpp:73-101``); ``map_id`` is ignored."""
+    ``EmbodiedSlamFilter.cpp:73-101``); ``map_id`` is ignored.
+
+    With ``packed`` (default) the grid is repacked into the
+    single-gather ``PackedLookup`` layout — XLA hoists the (loop-
+    invariant) packing out of scans; colour is not available on this
+    path, so pass ``packed=False`` when the slip/terrain update needs
+    patch colours.
+    """
+    if isinstance(grid, mls_grid.PackedLookup) or packed:
+        pl = (
+            grid
+            if isinstance(grid, mls_grid.PackedLookup)
+            else mls_grid.PackedLookup.from_grid(grid)
+        )
+
+        def lookup(map_id, points):
+            del map_id
+            return mls_grid.get_patch_packed(pl, points, z_window)
+
+        lookup.batched = True  # shape-polymorphic over [N, C, 3]
+        return lookup
 
     def lookup(map_id, points):
         del map_id
         return mls_grid.get_patch(grid, points, z_window)
 
+    lookup.batched = True
     return lookup

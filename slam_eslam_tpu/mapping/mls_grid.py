@@ -181,6 +181,66 @@ def get_patch(grid: MLSGrid, points, z_window=3.0):
     return found, mean, stdev, color
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "origin"],
+    meta_fields=["resolution"],
+)
+@dataclasses.dataclass
+class PackedLookup:
+    """Gather-optimised read-only view of a grid: ``[nx, ny, 2K]`` with
+    means in the first K lanes and stdevs (negative = invalid slot) in
+    the last K.  One query then costs a single contiguous-slice gather
+    instead of 3 separate gathers over mean/stdev/valid — TPU gathers
+    are per-element-costly, so halving the gathered element count nearly
+    halves the weighting step's wall time."""
+
+    data: jax.Array    # [nx, ny, 2K] float32
+    origin: jax.Array  # [2]
+    resolution: float
+
+    @property
+    def k(self):
+        return self.data.shape[2] // 2
+
+    @staticmethod
+    def from_grid(grid: MLSGrid):
+        mean = jnp.where(grid.valid, grid.mean, 0.0)
+        stdev = jnp.where(grid.valid, grid.stdev, -1.0)
+        return PackedLookup(
+            data=jnp.concatenate([mean, stdev], axis=-1),
+            origin=grid.origin,
+            resolution=grid.resolution,
+        )
+
+
+def get_patch_packed(packed: PackedLookup, points, z_window=3.0):
+    """Batched lookup against a ``PackedLookup`` (same semantics as
+    ``get_patch``; no colour — the slip path uses the unpacked grid)."""
+    k = packed.k
+    rel = (points[..., :2] - packed.origin) / packed.resolution
+    ix = jnp.floor(rel[..., 0]).astype(jnp.int32)
+    iy = jnp.floor(rel[..., 1]).astype(jnp.int32)
+    nx, ny = packed.data.shape[0], packed.data.shape[1]
+    inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+    cell = packed.data[jnp.where(inb, ix, 0), jnp.where(inb, iy, 0)]
+    means = cell[..., :k]
+    stdevs = cell[..., k:]
+    valids = stdevs >= 0.0
+
+    z = points[..., 2:3]
+    dist = jnp.abs(means - z)
+    cand = valids & (dist <= z_window)
+    dist = jnp.where(cand, dist, jnp.inf)
+    best = jnp.argmin(dist, axis=-1)
+    found = inb & jnp.any(cand, axis=-1)
+    take = partial(jnp.take_along_axis, indices=best[..., None], axis=-1)
+    mean = take(means)[..., 0]
+    stdev = jnp.abs(take(stdevs)[..., 0])
+    color = jnp.zeros(points.shape[:-1] + (3,), mean.dtype)
+    return found, mean, stdev, color
+
+
 # --------------------------------------------------------------------------
 # Patch insertion / fusion
 # --------------------------------------------------------------------------

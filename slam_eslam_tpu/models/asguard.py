@@ -130,24 +130,29 @@ class AsguardSim:
     def contact_state(self):
         return self.config.contact_state(self.wheel_pos)
 
-    def step(self, wheel_delta=0.1, yaw_rate=0.0, substeps=10):
+    def step(self, wheel_delta=0.1, yaw_rate=0.0, substeps=10,
+             on_substep=None):
         """Advance one filter step = ``substeps`` kinematic substeps
-        (mirrors the 10x0.01 rad inner loop, ``testMap.cpp:86-97``).
+        (mirrors the 10x0.01 rad inner loop, ``testMap.cpp:86-97``;
+        ``on_substep(sim)`` is called after each substep so callers can
+        run odometry at the reference's substep rate, ``:94-95``).
         Returns the new ground-truth body pose."""
         d = wheel_delta / substeps
         for _ in range(substeps):
             prev_feet = self._to_world(
                 self.config.foot_positions(self.wheel_pos)
             )
-            prev_low = prev_feet[np.argmin(prev_feet[:, 2])]
+            # stance foot = lowest BEFORE the substep; the same foot is
+            # tracked across the substep (comparing the argmin of both
+            # frames would mix different feet at stance transitions)
+            stance = int(np.argmin(prev_feet[:, 2]))
             self.wheel_pos += d
             self.yaw += yaw_rate / substeps
             cur_feet = self._to_world(
                 self.config.foot_positions(self.wheel_pos)
             )
-            cur_low = cur_feet[np.argmin(cur_feet[:, 2])]
-            # the stance foot is fixed in the world: translate the body
-            # so the (previous) lowest foot stays put
-            self.position[:2] += (prev_low - cur_low)[:2]
+            self.position[:2] += (prev_feet[stance] - cur_feet[stance])[:2]
             self._settle()
+            if on_substep is not None:
+                on_substep(self)
         return self.position.copy(), self.yaw

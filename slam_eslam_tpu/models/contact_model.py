@@ -218,7 +218,13 @@ def evaluate_pose(
     surface = jnp.concatenate([world[:, :2], mean[:, None]], axis=-1)
     cp_point = surface[rep_idx]
 
-    # terrain / slip probability per group (product over members)
+    # terrain / slip probability per group (product over members).
+    # ``terrain_prob`` may be a callable of (group_id, patch_color) —
+    # the visual classification comes from the queried patch colour
+    # (matchTerrain, ContactModel.cpp:238-240) — or a precomputed [C]
+    # array.
+    if callable(terrain_prob):
+        terrain_prob = terrain_prob(state.group_id, color)
     if terrain_prob is not None:
         logp = jnp.where(contrib, jnp.log(jnp.maximum(terrain_prob, 1e-30)), 0.0)
         cp_prob = jnp.exp(
@@ -275,6 +281,140 @@ def _evaluate_weight(cp_zdiff, cp_zvar, cp_prob, cp_ok, cfg):
     return weight, z_delta, z_var
 
 
+def evaluate_pose_batch(
+    state: BodyContactState,
+    rot,
+    trans,
+    meas_var,
+    map_lookup_batch,
+    cfg: ContactModelConfig,
+    terrain_prob=None,
+    with_debug_points=False,
+):
+    """Batched ``evaluate_pose`` over N particles — the TPU hot path.
+
+    Semantically identical to ``jax.vmap(evaluate_pose)`` (asserted by
+    tests), but structured for the hardware: the group segmentation is a
+    property of the *shared* contact state, so the per-group segmented
+    reductions become one-hot ``[C, S]`` matmuls on the MXU instead of
+    per-particle scatters (which XLA lowers poorly inside vmap — the
+    scatter path costs ~100 ms at 100k particles; this path is
+    bandwidth-bound).
+
+    Args: ``rot [N,3,3]``, ``trans [N,3]``, ``meas_var [N]``;
+    ``map_lookup_batch(points [N,C,3]) -> (found, mean, stdev, color)``
+    each ``[N,C]`` (+ color ``[N,C,3]``).
+
+    ``with_debug_points=False`` skips the per-group representative
+    surface point (a [N,C,S] argmax used only for the ``log_debug``
+    payload, ``Configuration.hpp:203-206``).
+    """
+    c = state.c
+    n = rot.shape[0]
+    seg, num_seg = state.segments()
+    dtype = state.position.dtype
+
+    onehot = (
+        seg[:, None] == jnp.arange(num_seg, dtype=seg.dtype)[None, :]
+    ).astype(dtype)                                           # [C, S]
+
+    active = state.valid & ~(state.contact < CONTACT_THRESHOLD)  # [C]
+
+    world = jnp.einsum("nij,cj->nci", rot, state.position) + trans[
+        :, None, :
+    ] - jnp.array([0.0, 0.0, cfg.contact_point_radius], dtype)
+
+    found, mean, stdev, color = map_lookup_batch(world)        # [N, C]
+
+    zdiff = world[..., 2] - mean
+    pose_var = stdev * stdev
+    zvar = pose_var + meas_var[:, None]
+    ratio = contact_likelihood_ratio(
+        zdiff, jnp.sqrt(zvar), cfg.contact_likelihood_correction
+    )
+
+    contrib = active[None, :] & found                          # [N, C]
+    ratio_m = jnp.where(contrib, ratio, 0.0)
+    miss = active[None, :] & ~found
+
+    seg_sum = lambda x: x @ onehot                             # [N, S]
+    rsum = seg_sum(ratio_m)
+    zdiff_sum = seg_sum(ratio_m * zdiff)
+    zvar_sum = seg_sum(ratio_m * zvar)
+    pvar_sum = seg_sum(ratio_m * pose_var)
+    group_valid = seg_sum(miss.astype(dtype)) == 0
+    seg_any = seg_sum(contrib.astype(dtype)) > 0
+
+    cp_ok = group_valid & seg_any & (rsum > 1e-9)
+    safe_rsum = jnp.where(cp_ok, rsum, 1.0)
+    cp_zdiff = jnp.where(cp_ok, zdiff_sum / safe_rsum, 0.0)
+    cp_zvar = jnp.where(cp_ok, zvar_sum / safe_rsum, jnp.inf)
+    m_pose_var = jnp.sum(
+        jnp.where(cp_ok, pvar_sum / safe_rsum, 0.0), axis=-1
+    )
+
+    if with_debug_points:
+        big = jnp.where(contrib, ratio, -jnp.inf)              # [N, C]
+        per_seg = jnp.where(
+            onehot.astype(bool)[None], big[..., None], -jnp.inf
+        )                                                      # [N, C, S]
+        rep_idx = jnp.argmax(per_seg, axis=1)                  # [N, S]
+        surface = jnp.concatenate(
+            [world[..., :2], mean[..., None]], axis=-1
+        )                                                      # [N, C, 3]
+        cp_point = jnp.take_along_axis(
+            surface, rep_idx[..., None], axis=1
+        )
+    else:
+        cp_point = jnp.zeros((n, num_seg, 3), dtype)
+
+    if callable(terrain_prob):
+        terrain_prob = terrain_prob(state.group_id, color)
+    if terrain_prob is not None:
+        logp = jnp.where(
+            contrib, jnp.log(jnp.maximum(terrain_prob, 1e-30)), 0.0
+        )
+        cp_prob = jnp.exp(seg_sum(logp))
+    else:
+        cp_prob = jnp.ones((n, num_seg), dtype)
+
+    n_contacts = jnp.sum(cp_ok, axis=-1).astype(jnp.int32)
+    measurement_valid = n_contacts >= cfg.min_contacts
+
+    # weighting (evaluateWeight), batched
+    inv_var = jnp.where(cp_ok, 1.0 / cp_zvar, 0.0)
+    d1 = jnp.sum(jnp.where(cp_ok, cp_zdiff, 0.0) * inv_var, axis=-1)
+    d2 = jnp.sum(inv_var, axis=-1)
+    safe_d2 = jnp.where(d2 > 0, d2, 1.0)
+    delta = d1 / safe_d2
+    odiff2 = jnp.where(
+        cp_ok, (cp_zdiff - delta[:, None]) ** 2 / cp_zvar, 0.0
+    )
+    log_pz = jnp.zeros((n,), dtype)
+    if cfg.use_shape_update:
+        log_pz = log_pz - 0.5 * jnp.sum(odiff2, axis=-1)
+    if cfg.use_slip_update:
+        log_pz = log_pz + jnp.sum(
+            jnp.where(cp_ok, jnp.log(jnp.maximum(cp_prob, 1e-30)), 0.0),
+            axis=-1,
+        )
+    weight = jnp.exp(log_pz)
+
+    return ContactEvalResult(
+        measurement_valid=measurement_valid,
+        weight=weight,
+        z_delta=-delta,
+        z_var=jnp.where(d2 > 0, 1.0 / safe_d2, jnp.inf),
+        pose_var=m_pose_var,
+        n_contacts=n_contacts,
+        cp_point=cp_point,
+        cp_zdiff=cp_zdiff,
+        cp_zvar=cp_zvar,
+        cp_prob=cp_prob,
+        cp_ok=cp_ok,
+    )
+
+
 def evaluate_weight_chitta(cp_zdiff, cp_zvar, cp_ok, meas_var):
     """Literature-variant weighting (``ChittaContactModel::evaluateWeight``,
     ``ContactModel.cpp:342-361``): anchor at the minimum zdiff, sum squared
@@ -295,6 +435,8 @@ def update_z_position_estimate(result: ContactEvalResult, z_pos, z_var):
     Returns ``(accepted, new_z_pos, new_z_var)``; on rejection (normalised
     innovation > 1) the inputs pass through unchanged.
     """
+    z_pos = jnp.asarray(z_pos, jnp.result_type(float))
+    z_var = jnp.asarray(z_var, z_pos.dtype)
     n = jnp.maximum(result.n_contacts, 1).astype(z_pos.dtype)
     pose_var = result.pose_var / n
     delta_var = jnp.maximum(z_var - pose_var, 1e-9)

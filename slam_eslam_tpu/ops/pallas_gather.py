@@ -1,0 +1,179 @@
+"""Pallas TPU kernel: windowed MLS patch gather via one-hot matmuls.
+
+Why: the contact-weighting hot loop performs N*C random cell lookups
+(2M at 100k particles).  XLA lowers them to an HBM gather whose
+per-element latency dominates the whole filter step (~100 ms measured —
+see ``tools/profile_step.py``).  During tracking the particle cloud is
+compact, so the queries hit a small window of the grid.  This kernel:
+
+1. holds the packed window (``[W, W, 2K]``, e.g. 64x64x8 f32 = 128 KB)
+   entirely in VMEM,
+2. per tile of T queries, expands the x-index into a one-hot ``[T, W]``
+   and contracts it with the window on the **MXU** -> rows ``[T, W*2K]``,
+3. selects the y-cell with a repeated one-hot mask on the VPU and
+   collapses the channel dimension with a second (constant) matmul,
+   so the ``[T, W*2K]`` intermediate never leaves VMEM — the fusion XLA
+   will not do for a gather.
+
+HBM traffic: indices in + ``[Q, 2K]`` results out (+ window once) —
+~30x less than the gather path's effective cost; compute ~0.5 GFLOP per
+1M queries.  Queries outside the window report "not found" (callers
+choose the window to cover the particle cloud; see
+``windowed_grid_lookup``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gather_kernel(lx_ref, ly_ref, table_ref, out_ref, *, w, channels):
+    """One tile: out[t] = table[lx[t], ly[t], :]."""
+    lx = lx_ref[...]                       # [T, 1] int32
+    ly = ly_ref[...]                       # [T, 1]
+    t = lx.shape[0]
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+    oh_x = (lx == iota_w).astype(jnp.float32)          # [T, W]
+    table = table_ref[...].reshape(w, w * channels)    # [W, W*C]
+    rows = jnp.dot(oh_x, table, preferred_element_type=jnp.float32)
+
+    # y-select mask over the (y-major, channel-minor) column order of
+    # ``rows``: mask[t, y*C + c] = (ly[t] == y)
+    colid = jax.lax.broadcasted_iota(jnp.int32, (t, w * channels), 1)
+    mask = (ly == colid // channels).astype(jnp.float32)
+    masked = rows * mask
+
+    # collapse y: constant selector S[(y*C + c), c'] = (c == c')
+    col = jax.lax.broadcasted_iota(jnp.int32, (w * channels, channels), 0)
+    outc = jax.lax.broadcasted_iota(jnp.int32, (w * channels, channels), 1)
+    sel = ((col % channels) == outc).astype(jnp.float32)
+    out_ref[...] = jnp.dot(masked, sel, preferred_element_type=jnp.float32)
+
+
+def window_gather(table, lx, ly, *, tile=512, interpret=False):
+    """Gather ``table[W, W, C]`` rows at per-query cells ``(lx, ly)``.
+
+    ``lx, ly``: int32 [Q], assumed pre-clamped to [0, W).  Returns
+    ``[Q, C]`` float32.  Q is padded to a tile multiple internally.
+    """
+    w, w2, channels = table.shape
+    assert w == w2, "square windows only"
+    q = lx.shape[0]
+    qp = ((q + tile - 1) // tile) * tile
+    pad = qp - q
+    lxp = jnp.pad(lx, (0, pad))[:, None]
+    lyp = jnp.pad(ly, (0, pad))[:, None]
+
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, w=w, channels=channels),
+        grid=(qp // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w, channels), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, channels), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, channels), jnp.float32),
+        interpret=interpret,
+    )(lxp, lyp, table)
+    return out[:q]
+
+
+def windowed_get_patch(packed, points, z_window=3.0, window=64,
+                       margin=2, tile=512, interpret=False):
+    """Drop-in ``get_patch_packed`` replacement using the Pallas window
+    kernel.
+
+    The window is centred on the query cloud's mean cell (a cheap
+    reduction); queries outside the window report not-found — correct
+    for the tracking regime where the cloud is compact relative to
+    ``window * resolution`` (64 cells @ 0.05 m = 3.2 m).  ``packed``:
+    ``mapping.mls_grid.PackedLookup``.
+    """
+    k = packed.k
+    nx, ny = packed.data.shape[0], packed.data.shape[1]
+    flat = points.reshape(-1, 3)
+    rel = (flat[:, :2] - packed.origin) / packed.resolution
+    ix = jnp.floor(rel[:, 0]).astype(jnp.int32)
+    iy = jnp.floor(rel[:, 1]).astype(jnp.int32)
+    inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+
+    # window origin: cloud mean cell, clamped inside the grid
+    cx = jnp.clip(
+        jnp.mean(jnp.clip(ix, 0, nx - 1)).astype(jnp.int32) - window // 2,
+        0, max(nx - window, 0),
+    )
+    cy = jnp.clip(
+        jnp.mean(jnp.clip(iy, 0, ny - 1)).astype(jnp.int32) - window // 2,
+        0, max(ny - window, 0),
+    )
+    table = jax.lax.dynamic_slice(
+        packed.data, (cx, cy, 0), (window, window, 2 * k)
+    )
+
+    lx = ix - cx
+    ly = iy - cy
+    inw = inb & (lx >= 0) & (lx < window) & (ly >= 0) & (ly < window)
+    lxc = jnp.clip(lx, 0, window - 1)
+    lyc = jnp.clip(ly, 0, window - 1)
+
+    cell = window_gather(table, lxc, lyc, tile=tile, interpret=interpret)
+    means = cell[:, :k]
+    stdevs = cell[:, k:]
+    valids = stdevs >= 0.0
+
+    z = flat[:, 2:3]
+    dist = jnp.abs(means - z)
+    cand = valids & (dist <= z_window)
+    dist = jnp.where(cand, dist, jnp.inf)
+    best = jnp.argmin(dist, axis=-1)
+    found = inw & jnp.any(cand, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=-1)[:, 0]
+    mean = take(means)
+    stdev = jnp.abs(take(stdevs))
+
+    shape = points.shape[:-1]
+    color = jnp.zeros(shape + (3,), mean.dtype)
+    return (
+        found.reshape(shape),
+        mean.reshape(shape),
+        stdev.reshape(shape),
+        color,
+    )
+
+
+def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=512,
+                         interpret=False):
+    """Lookup factory for the pose estimator (shared-map mode) using the
+    Pallas window kernel.  ``map_id`` is ignored.
+
+    NOTE: unlike the full-grid gather, lookups farther than
+    ``window * resolution / 2`` from the query-cloud centroid miss; use
+    the standard lookup while the particle cloud may be globally spread
+    (e.g. right after hash relocalisation).
+    """
+    from slam_eslam_tpu.mapping import mls_grid
+
+    if not isinstance(packed, mls_grid.PackedLookup):
+        packed = mls_grid.PackedLookup.from_grid(packed)
+
+    def lookup(map_id, points):
+        del map_id
+        return windowed_get_patch(
+            packed, points, z_window, window=window, tile=tile,
+            interpret=interpret,
+        )
+
+    # consumes the whole [N, C, 3] batch (window shared across particles)
+    lookup.batched = True
+    return lookup

@@ -22,6 +22,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# the axon sitecustomize overrides the platform via jax.config at
+# interpreter start; env vars alone do NOT stick.  Re-override before
+# any backend initialises.
+jax.config.update("jax_platforms", "cpu")
+
 # XLA compiles are slow on this host (~0.5 s per tiny executable); the
 # persistent cache makes re-runs cheap.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -269,6 +269,71 @@ class TestEvaluatePoseGroup:
         assert int(res.n_contacts) == 2
 
 
+class TestBatchEquivalence:
+    """evaluate_pose_batch must match vmap(evaluate_pose) exactly."""
+
+    def test_matches_vmap(self):
+        import jax
+
+        state = cm.set_contact_points(
+            square_state(zs=(0.1, -0.1, 0.1, -0.1),
+                         contact=[0.5, 1.0, np.nan, 0.1],
+                         group_id=[0, 0, 1, -1]),
+            geometry.quat_identity(),
+        )
+        z = jnp.array([0.0, -0.1, 0.2, 0.1], jnp.float32)
+        sd = jnp.array([0.5, 1.0, 0.3, 2.0], jnp.float32)
+        res_map = jnp.array([True, True, False, True])
+
+        def lookup(pts):
+            idx = (pts[..., 1] > 0).astype(jnp.int32) * 2 + (
+                pts[..., 0] > 0
+            ).astype(jnp.int32)
+            return (
+                res_map[idx], z[idx], sd[idx],
+                jnp.zeros(pts.shape[:-1] + (3,)),
+            )
+
+        n = 8
+        key = jax.random.PRNGKey(0)
+        yaw = jax.random.uniform(key, (n,), minval=-1.0, maxval=1.0)
+        trans = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 0.3
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        zero, one = jnp.zeros_like(c), jnp.ones_like(c)
+        rot = jnp.stack(
+            [c, -s, zero, s, c, zero, zero, zero, one], -1
+        ).reshape(n, 3, 3)
+        mv = jnp.full((n,), 0.8)
+        cfg = dataclasses.replace(CFG0, min_contacts=2)
+
+        single = jax.vmap(
+            lambda r, t, m: cm.evaluate_pose(state, r, t, m, lookup, cfg)
+        )(rot, trans, mv)
+        batch = cm.evaluate_pose_batch(
+            state, rot, trans, mv, lookup, cfg, with_debug_points=True
+        )
+        ok = np.asarray(single.cp_ok)
+        np.testing.assert_array_equal(ok, np.asarray(batch.cp_ok))
+        np.testing.assert_allclose(
+            np.asarray(single.cp_point)[ok], np.asarray(batch.cp_point)[ok],
+            rtol=1e-5, atol=1e-6,
+        )
+        for field in ["measurement_valid", "weight", "z_delta", "z_var",
+                      "pose_var", "n_contacts", "cp_zdiff"]:
+            a = np.asarray(getattr(single, field))
+            b = np.asarray(getattr(batch, field))
+            if a.dtype == bool or a.dtype.kind == "i":
+                np.testing.assert_array_equal(a, b, err_msg=field)
+            else:
+                mask = np.isfinite(a)
+                np.testing.assert_array_equal(
+                    np.isfinite(b), mask, err_msg=field
+                )
+                np.testing.assert_allclose(
+                    a[mask], b[mask], rtol=2e-5, atol=1e-6, err_msg=field
+                )
+
+
 class TestLikelihoodRatio:
     def test_symmetric_point(self):
         # at z=0: pdf/cdf = 2 * pdf(0) = 2 / (sigma_c * sqrt(2*pi))
@@ -278,9 +343,11 @@ class TestLikelihoodRatio:
         )
 
     def test_deep_tail_finite(self):
-        # boost underflows cdf -> inf ratio; log-space stays finite
+        # boost underflows cdf -> inf ratio; log-space stays finite.
+        # asymptotically pdf/cdf -> |z| / sigma_c^2 = 30 / 0.33^2 ~ 275
         r = cm.contact_likelihood_ratio(jnp.asarray(-30.0), 1.0, 0.33)
-        assert np.isfinite(float(r)) and float(r) > 1e3
+        assert np.isfinite(float(r))
+        np.testing.assert_allclose(float(r), 30.0 / 0.33**2, rtol=0.05)
 
     def test_monotone_decreasing(self):
         z = jnp.linspace(-2, 2, 41)

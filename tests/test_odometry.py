@@ -132,17 +132,20 @@ class TestAsguard:
     def test_sim_with_odometry_tracks_truth(self):
         # AsguardSim + FootContact odometry: integrated odometry should
         # track the kinematic ground truth on flat ground (the fixture
-        # pattern of testMap.cpp:85-104)
+        # pattern of testMap.cpp:85-104 — odometry updated per substep)
         sim = asguard.AsguardSim()
         o = odom.FootContactOdometry.create(asguard.NUM_FEET)
         q = geometry.quat_identity()
         pos = np.zeros(2)
         o = odom.update(o, sim.contact_state(), q, CFG)
-        for _ in range(30):
-            truth0 = sim.position[:2].copy()
-            sim.step(wheel_delta=0.1)
-            o = odom.update(o, sim.contact_state(), q, CFG)
+
+        def on_substep(s):
+            nonlocal o, pos
+            o = odom.update(o, s.contact_state(), q, CFG)
             pos += np.asarray(o.delta_xy)
+
+        for _ in range(15):
+            sim.step(wheel_delta=0.1, on_substep=on_substep)
         err = np.linalg.norm(pos - sim.position[:2])
         assert err < 0.1, f"odometry drift too large: {err}"
 

@@ -1,0 +1,123 @@
+"""Pallas windowed-gather kernel tests (interpreter mode on CPU).
+
+The kernel must agree exactly with the reference jnp gather path for
+in-window queries, and report misses outside the window.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_eslam_tpu.mapping import mls_grid
+from slam_eslam_tpu.models import sim as simlib
+from slam_eslam_tpu.ops import pallas_gather as pg
+
+
+def terrain(x, y):
+    return 0.3 * np.sin(np.asarray(x)) + 0.2 * np.cos(0.7 * np.asarray(y))
+
+
+@pytest.fixture(scope="module")
+def packed():
+    grid = simlib.terrain_grid(
+        terrain, nx=128, ny=128, resolution=0.1, origin=(-6.4, -6.4)
+    )
+    return mls_grid.PackedLookup.from_grid(grid)
+
+
+class TestWindowGather:
+    def test_matches_direct_indexing(self):
+        key = jax.random.PRNGKey(0)
+        w, c = 16, 8
+        table = jax.random.normal(key, (w, w, c))
+        lx = jax.random.randint(jax.random.PRNGKey(1), (100,), 0, w)
+        ly = jax.random.randint(jax.random.PRNGKey(2), (100,), 0, w)
+        out = pg.window_gather(table, lx, ly, tile=64, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(table[lx, ly]), rtol=1e-6
+        )
+
+    def test_padding_handled(self):
+        # Q not a multiple of the tile
+        table = jnp.arange(4 * 4 * 8, dtype=jnp.float32).reshape(4, 4, 8)
+        lx = jnp.array([0, 3, 2], jnp.int32)
+        ly = jnp.array([1, 0, 2], jnp.int32)
+        out = pg.window_gather(table, lx, ly, tile=256, interpret=True)
+        np.testing.assert_allclose(out, np.asarray(table[lx, ly]))
+
+
+class TestWindowedGetPatch:
+    def test_matches_packed_lookup_in_window(self, packed):
+        key = jax.random.PRNGKey(3)
+        # compact cloud near the origin (tracking regime)
+        pts = jnp.concatenate(
+            [
+                jax.random.uniform(key, (500, 2), minval=-1.5, maxval=1.5),
+                jax.random.uniform(
+                    jax.random.PRNGKey(4), (500, 1), minval=-0.6,
+                    maxval=0.6,
+                ),
+            ],
+            axis=1,
+        )
+        ref = mls_grid.get_patch_packed(packed, pts, 3.0)
+        out = pg.windowed_get_patch(
+            packed, pts, 3.0, window=64, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+        f = np.asarray(ref[0])
+        np.testing.assert_allclose(
+            np.asarray(out[1])[f], np.asarray(ref[1])[f], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[2])[f], np.asarray(ref[2])[f], rtol=1e-6
+        )
+
+    def test_out_of_window_misses(self, packed):
+        # a compact cloud at the origin plus one far outlier: the window
+        # centres on the cloud (mean cell), so the outlier must miss
+        # (documented window semantics) while cloud points hit
+        near = jnp.tile(jnp.array([[0.1, 0.1, 0.2]]), (20, 1))
+        far = jnp.array([[6.0, 6.0, 0.0]])
+        pts = jnp.concatenate([near, far])
+        # 16 cells @ 0.1 m = 1.6 m window
+        out = pg.windowed_get_patch(
+            packed, pts, 3.0, window=16, interpret=True
+        )
+        found = np.asarray(out[0])
+        assert found[:20].all()
+        assert not found[20]
+
+    def test_batched_shape(self, packed):
+        pts = jnp.zeros((7, 5, 3))
+        out = pg.windowed_get_patch(packed, pts, 3.0, window=16,
+                                    interpret=True)
+        assert out[0].shape == (7, 5)
+        assert out[3].shape == (7, 5, 3)
+
+    def test_lookup_factory_in_update(self, packed):
+        """End-to-end: the windowed lookup drives update_weights."""
+        import dataclasses
+
+        from slam_eslam_tpu.config import Config, ContactModelConfig
+        from slam_eslam_tpu.filter import pose_estimator as pe
+        from slam_eslam_tpu.utils import geometry
+
+        cfg = dataclasses.replace(
+            Config(), particle_count=16, min_effective=8,
+            contact_model=ContactModelConfig(contact_point_radius=0.0),
+        )
+        lookup = pg.windowed_grid_lookup(packed, interpret=True)
+        state = pe.PoseEstimatorState.create(cfg, 20)
+        particles = pe.init_gaussian(
+            jax.random.PRNGKey(5), 16, (0.0, 0.0), 0.0, (0.2, 0.2),
+            0.05, terrain(0, 0) + 0.2, 0.3,
+        )
+        state = dataclasses.replace(state, particles=particles)
+        sim = simlib.TrajectorySim(terrain, speed=0.05)
+        sim.step()
+        cs = sim.contact_state()
+        q = geometry.quat_identity()
+        new_state, res = pe.update_weights(state, cs, q, lookup, cfg)
+        assert bool(res.measurement_valid.any())

@@ -36,7 +36,8 @@ class TestWeightingFunction:
         # PoseEstimator.cpp:104-128
         f = pe.weighting_function
         assert float(f(jnp.asarray(0.05))) == 1.0
-        assert float(f(jnp.asarray(0.95))) == 0.05
+        np.testing.assert_allclose(float(f(jnp.asarray(0.95))), 0.05,
+                                   rtol=1e-6)
         np.testing.assert_allclose(
             float(f(jnp.asarray(0.5))),
             (1.0 - 0.05) / (0.1 - 0.9) * 0.5 + 1.0 - 0.1 * (1 - 0.05) / (0.1 - 0.9),
