@@ -276,11 +276,20 @@ def update(
 
     key, k_rs = jax.random.split(state.key)
     do_resample = ess < cfg.min_effective
-    idx = pf.resample_stratified(k_rs, weight, p.n)
-    idx = jnp.where(do_resample, idx, jnp.arange(p.n, dtype=idx.dtype))
-    # stratified resampling carries the normalised weights with the
-    # copied particles (ParticleFilter.hpp:104)
-    particles = pf.take(dataclasses.replace(p, weight=weight), idx)
+    p_norm = dataclasses.replace(p, weight=weight)
+
+    def resample(p_norm):
+        # stratified resampling carries the normalised weights with the
+        # copied particles (ParticleFilter.hpp:104)
+        idx = pf.resample_stratified(k_rs, weight, p.n)
+        return pf.take(p_norm, idx), idx
+
+    def skip(p_norm):
+        return p_norm, jnp.arange(p.n, dtype=jnp.int32)
+
+    # lax.cond: the searchsorted + 12-field particle gather only runs
+    # on the (rare) resampling steps
+    particles, idx = jax.lax.cond(do_resample, resample, skip, p_norm)
 
     state = dataclasses.replace(state, particles=particles, key=key)
     aux = {"eval": res, "ess": ess, "resampled": do_resample,

@@ -154,6 +154,17 @@ def pose_delta_samples_2d(odo: FootContactOdometry, key, n):
     return dxy, dyaw
 
 
+def position_error(odo: FootContactOdometry):
+    """3x3 position error covariance (``FootContact::getPositionError``;
+    the filter reads its (2,2) entry for z-variance propagation,
+    ``PoseEstimator.cpp:192``)."""
+    return jnp.diag(
+        jnp.stack(
+            [odo.sigma_xy[0] ** 2, odo.sigma_xy[1] ** 2, odo.sigma_z**2]
+        )
+    )
+
+
 def z_delta_and_var(odo: FootContactOdometry, orientation):
     """World z displacement + variance for z propagation.
 

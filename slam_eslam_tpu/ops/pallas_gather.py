@@ -40,8 +40,9 @@ def _gather_kernel(lx_ref, ly_ref, table_ref, out_ref, *, w, channels):
 
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
     oh_x = (lx == iota_w).astype(jnp.float32)          # [T, W]
-    table = table_ref[...].reshape(w, w * channels)    # [W, W*C]
-    rows = jnp.dot(oh_x, table, preferred_element_type=jnp.float32)
+    # table arrives pre-flattened [W, W*C] (Mosaic cannot shape-cast
+    # (W, W, C) -> (W, W*C) in-kernel)
+    rows = jnp.dot(oh_x, table_ref[...], preferred_element_type=jnp.float32)
 
     # y-select mask over the (y-major, channel-minor) column order of
     # ``rows``: mask[t, y*C + c] = (ly[t] == y)
@@ -69,6 +70,7 @@ def window_gather(table, lx, ly, *, tile=512, interpret=False):
     pad = qp - q
     lxp = jnp.pad(lx, (0, pad))[:, None]
     lyp = jnp.pad(ly, (0, pad))[:, None]
+    table2 = table.reshape(w, w * channels)
 
     out = pl.pallas_call(
         functools.partial(_gather_kernel, w=w, channels=channels),
@@ -78,14 +80,14 @@ def window_gather(table, lx, ly, *, tile=512, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, w, channels), lambda i: (0, 0, 0),
+            pl.BlockSpec((w, w * channels), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, channels), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qp, channels), jnp.float32),
         interpret=interpret,
-    )(lxp, lyp, table)
+    )(lxp, lyp, table2)
     return out[:q]
 
 

@@ -1,0 +1,111 @@
+"""Pose-graph backend tests: GN convergence, loop closure, scan alignment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_eslam_tpu.backend import pose_graph as pgr
+from slam_eslam_tpu.mapping.mls_grid import PatchCloud
+from slam_eslam_tpu.models import sim as simlib
+
+
+def terrain(x, y):
+    return 0.3 * np.sin(0.8 * np.asarray(x)) + 0.2 * np.cos(
+        0.6 * np.asarray(y)
+    )
+
+
+class TestGaussNewton:
+    def test_chain_converges_to_odometry(self):
+        # 4 nodes along x with unit odometry edges; start from noisy guesses
+        b = pgr.PoseGraphBuilder(max_nodes=8, max_edges=8)
+        truth = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0)]
+        rng = np.random.default_rng(0)
+        for i, t in enumerate(truth):
+            noisy = np.asarray(t) + (
+                0 if i == 0 else rng.normal(0, 0.2, 3)
+            )
+            b.add_node(noisy)
+        for i in range(3):
+            b.add_edge(i, i + 1, (1.0, 0.0, 0.0))
+        hist = b.optimize(iters=10)
+        nodes = np.asarray(b.graph.nodes)[:4]
+        np.testing.assert_allclose(nodes, truth, atol=1e-3)
+        assert float(hist[-1]) < float(hist[0]) + 1e-9
+
+    def test_loop_closure_corrects_drift(self):
+        # square loop with accumulated odometry drift; the closure edge
+        # pulls the end node back onto the start
+        b = pgr.PoseGraphBuilder(max_nodes=32, max_edges=32)
+        n_side = 4
+        # odometry measurements: forward 1 m then turn 90 deg
+        poses = [(0.0, 0.0, 0.0)]
+        drift = 0.08
+        cur = np.zeros(3)
+        meas = []
+        for k in range(n_side * 4):
+            z = (1.0, 0.0, np.pi / 2 if (k % n_side) == n_side - 1 else 0.0)
+            meas.append(z)
+            # integrate DRIFTED odometry for initial guesses
+            zd = (z[0] + drift, z[1], z[2] + drift * 0.2)
+            c, s = np.cos(cur[2]), np.sin(cur[2])
+            cur = np.array(
+                [cur[0] + c * zd[0] - s * zd[1],
+                 cur[1] + s * zd[0] + c * zd[1],
+                 cur[2] + zd[2]]
+            )
+            poses.append(cur.copy())
+        for p in poses:
+            b.add_node(p)
+        for k, z in enumerate(meas):
+            b.add_edge(k, k + 1, z)
+        end_err_before = np.linalg.norm(poses[-1][:2])
+        assert end_err_before > 0.3  # drift accumulated
+        # loop closure: last node == first node
+        b.add_edge(len(poses) - 1, 0, (0.0, 0.0, 0.0),
+                   info=jnp.eye(3) * 1000.0)
+        b.optimize(iters=15)
+        nodes = np.asarray(b.graph.nodes)
+        end_err_after = np.linalg.norm(nodes[len(poses) - 1][:2])
+        assert end_err_after < 0.05, f"closure failed: {end_err_after}"
+        # interior nodes get distributed correction, staying near a square
+        assert abs(nodes[n_side][0] - n_side) < 0.5
+
+    def test_invalid_edges_ignored(self):
+        b = pgr.PoseGraphBuilder(max_nodes=4, max_edges=4)
+        b.add_node((0, 0, 0))
+        b.add_node((2.0, 0, 0))
+        b.add_edge(0, 1, (1.0, 0, 0))
+        # padding edges (invalid) must not perturb anything
+        hist = b.optimize(iters=5)
+        np.testing.assert_allclose(
+            np.asarray(b.graph.nodes)[1], [1.0, 0, 0], atol=1e-3
+        )
+
+
+class TestScanAlign:
+    def test_recovers_offset(self):
+        grid = simlib.terrain_grid(
+            terrain, nx=80, ny=80, resolution=0.1, origin=(-4.0, -4.0)
+        )
+        # cloud sampled from the terrain under a true pose offset
+        key = jax.random.PRNGKey(0)
+        pts = jax.random.uniform(key, (128, 2), minval=-1.5, maxval=1.5)
+        true_dx = jnp.array([0.25, -0.125])
+        world = pts + true_dx
+        z = jnp.asarray(
+            terrain(np.asarray(world[:, 0]), np.asarray(world[:, 1])),
+            jnp.float32,
+        )
+        cloud = PatchCloud(
+            xy=pts, z=z, stdev=jnp.full((128,), 0.05),
+            valid=jnp.ones((128,), bool),
+        )
+        xy, yaw, score = pgr.scan_align(
+            grid, cloud, jnp.zeros(2), jnp.asarray(0.0), jnp.asarray(0.0),
+            search_xy=0.5, steps_xy=9, search_yaw=0.1, steps_yaw=3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(xy), np.asarray(true_dx), atol=0.13
+        )
+        assert float(score) > 0.5
