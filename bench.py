@@ -30,6 +30,11 @@ def main():
         help="map-lookup path: XLA gather over the full grid, or the "
         "Pallas VMEM-window kernel (tracking regime)",
     )
+    ap.add_argument(
+        "--contact-cap", type=int, default=8, dest="contact_cap",
+        help="compact contact states to this many candidates "
+        "(semantics-preserving when >= active count; 0 disables)",
+    )
     args = ap.parse_args()
 
     from slam_eslam_tpu.utils.cache import enable_persistent_cache
@@ -73,7 +78,7 @@ def main():
     else:
         lookup = shared_grid_lookup(grid)
 
-    state = pe.PoseEstimatorState.create(cfg, 20)
+    state = pe.PoseEstimatorState.create(cfg, args.contact_cap or 20)
     particles = pe.init_gaussian(
         jax.random.PRNGKey(0), n, (0.0, 0.0), 0.0, (0.3, 0.3), 0.05, 0.2, 0.3
     )
@@ -84,7 +89,10 @@ def main():
     css, qs = [], []
     for _ in range(args.steps):
         (pos, yaw), _ = sim.step()
-        css.append(sim.contact_state(noise=0.005))
+        cs = sim.contact_state(noise=0.005)
+        if args.contact_cap:
+            cs = cs.compact(args.contact_cap)
+        css.append(cs)
         qs.append(np.asarray(geometry.quat_from_yaw(np.float32(yaw))))
     contact_states = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *css

@@ -1,0 +1,146 @@
+"""Keyframe manager: ties the pose-graph backend into the SLAM loop.
+
+Usage pattern (see ``examples/loop_closure_demo.py`` / tests): during a
+traverse, call ``maybe_add_keyframe`` with the current centroid pose +
+scan cloud; the manager
+
+1. stores a keyframe (pose + cloud) every ``keyframe_distance`` metres,
+2. chains consecutive keyframes with odometry edges,
+3. when the robot re-enters the neighbourhood of an old keyframe
+   (candidate gating by distance + minimum index separation), aligns
+   the current cloud against an MLS grid built from the old keyframe's
+   cloud (``backend.pose_graph.scan_align``) and, if the match score
+   passes, adds a loop-closure edge,
+4. ``optimize()`` runs Gauss-Newton over the whole graph and returns
+   the corrected trajectory.
+
+Host-side orchestration; all heavy steps (alignment sweeps, GN) are
+jitted device code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from slam_eslam_tpu.backend import pose_graph as pgr
+from slam_eslam_tpu.mapping import mls_grid
+
+
+@dataclasses.dataclass
+class Keyframe:
+    index: int
+    node_id: int
+    pose: np.ndarray       # (x, y, yaw) at insertion
+    cloud: object          # PatchCloud in body frame
+    z: float
+
+
+class KeyframeManager:
+    def __init__(self, keyframe_distance=0.5, closure_radius=1.0,
+                 min_separation=5, min_score=0.35,
+                 grid_resolution=0.2, grid_cells=48,
+                 max_nodes=256, max_edges=1024,
+                 odom_info=100.0, closure_info=300.0):
+        # NOTE: the alignment score averages over ALL sampled cloud
+        # points (misses count 0), so keyframe grids must be coarse
+        # enough that the stored cloud covers most cells — hence the
+        # 0.2 m default resolution.
+        self.kf_dist = keyframe_distance
+        self.closure_radius = closure_radius
+        self.min_separation = min_separation
+        self.min_score = min_score
+        self.grid_resolution = grid_resolution
+        self.grid_cells = grid_cells
+        self.odom_info = odom_info
+        self.closure_info = closure_info
+        self.builder = pgr.PoseGraphBuilder(max_nodes, max_edges)
+        self.keyframes: list[Keyframe] = []
+        self.closures: list[tuple] = []
+
+    def _rel_pose(self, a, b):
+        """Pose of b in a's frame."""
+        c, s = np.cos(a[2]), np.sin(a[2])
+        dt = b[:2] - a[:2]
+        return np.array(
+            [c * dt[0] + s * dt[1], -s * dt[0] + c * dt[1],
+             pgr.wrap_angle(jnp.asarray(b[2] - a[2]))]
+        , dtype=float)
+
+    def _kf_grid(self, kf: Keyframe):
+        """Local MLS grid of a keyframe's cloud, in world frame."""
+        half = self.grid_cells * self.grid_resolution / 2.0
+        g = mls_grid.MLSGrid.create(
+            self.grid_cells, self.grid_cells, self.grid_resolution,
+            (kf.pose[0] - half, kf.pose[1] - half), k=2,
+        )
+        th = kf.pose[2]
+        r = jnp.array(
+            [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+            jnp.float32,
+        )
+        return mls_grid.merge_cloud(
+            g, kf.cloud, r, jnp.asarray(kf.pose[:2], jnp.float32),
+            jnp.asarray(kf.z, jnp.float32), jnp.asarray(0.0), 0,
+        )
+
+    def maybe_add_keyframe(self, pose_xyyaw, cloud, z=0.0):
+        """Returns (added, closure_or_None)."""
+        pose = np.asarray(pose_xyyaw, float)
+        if self.keyframes and np.linalg.norm(
+            pose[:2] - self.keyframes[-1].pose[:2]
+        ) < self.kf_dist:
+            return False, None
+
+        node = self.builder.add_node(pose)
+        kf = Keyframe(len(self.keyframes), node, pose, cloud, float(z))
+        if self.keyframes:
+            prev = self.keyframes[-1]
+            self.builder.add_edge(
+                prev.node_id, node, self._rel_pose(prev.pose, pose),
+                info=jnp.eye(3) * self.odom_info,
+            )
+        self.keyframes.append(kf)
+
+        closure = self._try_closure(kf)
+        return True, closure
+
+    def _try_closure(self, kf: Keyframe):
+        best = None
+        for old in self.keyframes[: max(0, kf.index - self.min_separation)]:
+            d = np.linalg.norm(kf.pose[:2] - old.pose[:2])
+            if d < self.closure_radius:
+                if best is None or d < best[0]:
+                    best = (d, old)
+        if best is None:
+            return None
+        _, old = best
+
+        grid = self._kf_grid(old)
+        xy, yaw, score = pgr.scan_align(
+            grid, kf.cloud,
+            jnp.asarray(kf.pose[:2], jnp.float32),
+            jnp.asarray(kf.pose[2], jnp.float32),
+            jnp.asarray(kf.z, jnp.float32),
+        )
+        if float(score) < self.min_score:
+            return None
+        corrected = np.array([float(xy[0]), float(xy[1]), float(yaw)])
+        z_rel = self._rel_pose(old.pose, corrected)
+        self.builder.add_edge(
+            old.node_id, kf.node_id, z_rel,
+            info=jnp.eye(3) * self.closure_info * float(score),
+        )
+        self.closures.append((old.index, kf.index, float(score)))
+        return (old.index, kf.index, float(score))
+
+    def optimize(self, iters=10):
+        hist = self.builder.optimize(iters)
+        return self.trajectory(), hist
+
+    def trajectory(self):
+        n = len(self.keyframes)
+        return np.asarray(self.builder.graph.nodes[:n])

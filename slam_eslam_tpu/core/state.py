@@ -110,6 +110,37 @@ class BodyContactState:
                    if valid is None else jnp.asarray(valid, bool)),
         )
 
+    def compact(self, cap):
+        """Host-side compaction to the active candidate set.
+
+        Points with contact probability below the model's threshold are
+        never queried and contribute nothing to ``evaluate_pose``
+        (``ContactModel.cpp:136,154``), so a frame whose active set is
+        small can be compacted to ``cap`` slots before entering the
+        device step — a 20->8 compaction cuts the map-gather and
+        likelihood work by 2.5x at identical results.  Stable order
+        (group runs preserved).  Active points beyond ``cap`` are kept
+        by dropping inactive ones first; if actives alone exceed
+        ``cap``, the tail actives are dropped (choose ``cap`` >= the
+        worst-case active count to avoid this).
+        """
+        import numpy as np
+
+        from slam_eslam_tpu.models.contact_model import CONTACT_THRESHOLD
+
+        contact = np.asarray(self.contact)
+        valid = np.asarray(self.valid)
+        active = valid & ~(contact < CONTACT_THRESHOLD)
+        order = np.argsort(~active, kind="stable")  # actives first
+        keep = np.sort(order[:cap])                 # restore original order
+        return BodyContactState(
+            position=self.position[keep],
+            contact=self.contact[keep],
+            slip=self.slip[keep],
+            group_id=self.group_id[keep],
+            valid=self.valid[keep],
+        )
+
     def segments(self):
         """Group segmentation of the contact points.
 
