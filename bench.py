@@ -35,7 +35,16 @@ def main():
         help="compact contact states to this many candidates "
         "(semantics-preserving when >= active count; 0 disables)",
     )
+    ap.add_argument(
+        "--mode", choices=["filter", "slam"], default="filter",
+        help="filter: localisation step throughput (headline); "
+        "slam: full EmbodiedSlamFilter loop with per-particle maps, "
+        "laser merges and surface-hash reinjection",
+    )
     args = ap.parse_args()
+
+    if args.mode == "slam":
+        return bench_slam(args)
 
     from slam_eslam_tpu.utils.cache import enable_persistent_cache
 
@@ -125,6 +134,101 @@ def main():
     print(
         f"# {n} particles x {args.steps} steps: best {best:.3f}s "
         f"(compile+first {compile_s:.1f}s), devices={jax.devices()}",
+        file=sys.stderr,
+    )
+
+
+def bench_slam(args):
+    """Full orchestrator loop: contact updates + per-particle map merges
+    + hash reinjection (BASELINE config #3 shape, at per-particle-map
+    scale: the reference operates 250 particles; per-particle maps at
+    100k would need ~TB of map memory in any design)."""
+    import dataclasses
+    import time
+
+    from slam_eslam_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_eslam_tpu.config import (
+        Config, ContactModelConfig, SurfaceHashConfig,
+    )
+    from slam_eslam_tpu.filter.eslam_filter import EmbodiedSlamFilter
+    from slam_eslam_tpu.mapping import projection as proj
+    from slam_eslam_tpu.models import sim as simlib
+    from slam_eslam_tpu.models.asguard import AsguardSim
+
+    n = min(args.particles, 1024) if args.particles == 100_000 else args.particles
+
+    def terrain(x, y):
+        return 0.15 * np.sin(0.7 * np.asarray(x)) + 0.12 * np.cos(
+            0.5 * np.asarray(y)
+        )
+
+    cfg = dataclasses.replace(
+        Config(),
+        particle_count=n,
+        min_effective=n // 2,
+        grid_size=10.0,
+        grid_resolution=0.25,
+        map_pool_blocks=n + 64,
+        map_chain_length=3,
+        contact_model=ContactModelConfig(
+            contact_point_radius=0.0, min_contacts=2
+        ),
+    )
+    f = EmbodiedSlamFilter(config=cfg)
+    sim = AsguardSim(terrain=terrain)
+    f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+           use_shared_map=False)
+    q = np.array([1.0, 0, 0, 0], np.float32)
+
+    n_rays = 64
+    scan = proj.LaserScan(
+        ranges=jnp.full((n_rays,), 2.0),
+        start_angle=jnp.asarray(-np.pi / 2),
+        angular_resolution=jnp.asarray(np.pi / n_rays),
+    )
+    lb = (np.eye(3), np.zeros(3))
+
+    steps = args.steps if args.steps != 10 else 20
+    # warm up compiles
+    sim.step(wheel_delta=0.3, on_substep=lambda s: f.update_contact(
+        (q, s.position.astype(np.float64)), s.contact_state()))
+    f.update_scan((q, sim.position.astype(np.float64)), scan, lb)
+
+    frames = 0
+    t0 = time.time()
+    for _ in range(steps):
+        def frame(s):
+            nonlocal frames
+            f.update_contact(
+                (q, s.position.astype(np.float64)), s.contact_state()
+            )
+            frames += 1
+
+        sim.step(wheel_delta=0.3, on_substep=frame)
+        f.update_scan((q, sim.position.astype(np.float64)), scan, lb)
+    jax.block_until_ready(f.state.particles.weight)
+    dt = time.time() - t0
+
+    import json
+
+    result = {
+        "metric": "slam_frames_per_sec",
+        "value": round(frames / dt, 2),
+        "unit": f"frames/s @ {n} particles, per-particle maps",
+        "vs_baseline": round(frames / dt / 100.0, 3),
+    }
+    print(json.dumps(result))
+    import sys
+
+    print(
+        f"# {frames} contact frames + {steps} scan merges in {dt:.2f}s, "
+        f"map patches={int(jnp.sum(f.pool.valid))}",
         file=sys.stderr,
     )
 

@@ -15,7 +15,6 @@ trips per step.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,6 @@ from slam_eslam_tpu.core.state import BodyContactState
 from slam_eslam_tpu.filter import pose_estimator as pe
 from slam_eslam_tpu.models import odometry as odom
 from slam_eslam_tpu.parallel import sharding as shd
-from slam_eslam_tpu.utils import geometry
 
 
 def make_filter_step(cfg: Config, map_lookup=None, mesh=None, jit=True,

@@ -32,11 +32,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-try:  # jax>=0.6 moved shard_map out of experimental
-    from jax import shard_map as _shard_map_mod  # noqa: F401
-
+if hasattr(jax, "shard_map"):  # jax>=0.6
     shard_map = jax.shard_map
-except AttributeError:  # pragma: no cover
+else:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 

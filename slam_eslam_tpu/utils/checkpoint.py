@@ -9,10 +9,8 @@ orchestrator's host-side gate poses are one pytree, saved with Orbax.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 
-import jax
 import numpy as np
 
 

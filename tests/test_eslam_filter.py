@@ -151,6 +151,38 @@ class TestSlamLoopShared:
         assert 0 <= i < 32
 
 
+class TestHashInit:
+    def test_global_init_from_hash(self):
+        """use_hash: particles sample the whole-map candidate set
+        (``EmbodiedSlamFilter.cpp:93-98,110-115``) instead of the
+        Gaussian around the start pose."""
+        from slam_eslam_tpu.config import SurfaceHashConfig
+
+        def sloped(x, y):
+            return 0.25 * np.asarray(x) * 0.5
+
+        f = EmbodiedSlamFilter(config=small_config(n=64))
+        grid = simlib.terrain_grid(
+            sloped, nx=64, ny=64, resolution=0.25, origin=(-8.0, -8.0)
+        )
+        f.init(
+            pose=(np.zeros(3), 0.0), shared_grid=grid,
+            use_shared_map=True,
+            hash_config=SurfaceHashConfig(
+                use_hash=True, slope_bins=10, angular_steps=4
+            ),
+        )
+        xy = np.asarray(f.state.particles.xy)
+        # global spread, not the 0.1 m Gaussian
+        assert xy.std(axis=0).max() > 1.0
+        assert f.hash is not None
+        # reinjection path runs without error on the next update
+        sim = simlib.TrajectorySim(sloped, speed=0.06)
+        sim.step()
+        q = np.asarray(geometry.quat_from_yaw(jnp.asarray(sim.yaw)))
+        f.update_contact((q, sim.position), sim.contact_state())
+
+
 class TestSlipUpdate:
     def test_terrain_match_outweighs_mismatch(self):
         """use_slip_update: joint visual/proprioceptive terrain

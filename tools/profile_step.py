@@ -17,6 +17,10 @@ def main():
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--lookup", choices=["gather", "window"],
+                    default="gather")
+    ap.add_argument("--contact-cap", type=int, default=0,
+                    dest="contact_cap")
     args = ap.parse_args()
 
     from slam_eslam_tpu.utils.cache import enable_persistent_cache
@@ -49,9 +53,15 @@ def main():
     grid = simlib.terrain_grid(
         terrain, nx=400, ny=400, resolution=0.05, origin=(-10.0, -10.0)
     )
-    lookup = shared_grid_lookup(grid)
+    if args.lookup == "window":
+        from slam_eslam_tpu.ops.pallas_gather import windowed_grid_lookup
 
-    state = pe.PoseEstimatorState.create(cfg, 20)
+        lookup = windowed_grid_lookup(grid, window=64)
+    else:
+        lookup = shared_grid_lookup(grid)
+
+    n_contacts = args.contact_cap or 20
+    state = pe.PoseEstimatorState.create(cfg, n_contacts)
     particles = pe.init_gaussian(
         jax.random.PRNGKey(0), n, (0.0, 0.0), 0.0, (0.3, 0.3), 0.05,
         0.2, 0.3,
@@ -69,6 +79,8 @@ def main():
     sim = simlib.TrajectorySim(terrain, speed=0.05)
     sim.step()
     cs = sim.contact_state()
+    if args.contact_cap:
+        cs = cs.compact(args.contact_cap)
     q = geometry.quat_identity()
 
     stages = {
