@@ -401,12 +401,31 @@ class EmbodiedSlamFilter:
         pts, valid = projection.distance_image_to_points(
             dimage, self.config.max_sensor_range
         )
-        cloud = projection.project_points(
-            pts, valid,
-            jnp.asarray(camera2body[0], jnp.float32),
-            jnp.asarray(camera2body[1], jnp.float32),
-            q,
+        color = (
+            projection.texture_colors(dimage, texture)
+            if texture is not None else None
         )
+        cam_rot = jnp.asarray(camera2body[0], jnp.float32)
+        cam_trans = jnp.asarray(camera2body[1], jnp.float32)
+        cloud = projection.project_points(
+            pts, valid, cam_rot, cam_trans, q, color=color,
+        )
+        if self.use_shared_map and self.config.grid_use_negative_information:
+            free, fmask = projection.free_space_points(
+                pts, valid, cam_rot, cam_trans, q
+            )
+            pos, quat = self.get_centroid()
+            # free-space samples are in the yaw-compensated body frame;
+            # lift to world via the centroid pose
+            yaw = geometry.yaw_from_quat(quat)
+            r2 = geometry.rot2d(yaw)
+            free_w = jnp.concatenate(
+                [free[:, :2] @ r2.T + jnp.asarray(pos[:2]),
+                 (free[:, 2] + pos[2])[:, None]], axis=1,
+            )
+            self.shared_grid = mls_grid.apply_negative_points(
+                self.shared_grid, free_w, fmask
+            )
         if self.use_shared_map:
             # no per-particle pool exists; merging into the shared grid
             # is a single merge under the centroid pose

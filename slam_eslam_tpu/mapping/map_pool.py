@@ -322,7 +322,7 @@ def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
     mf = mask.reshape(-1)
 
     bx = pool.b * pool.nx
-    gx2, gy2, z2, v2, keep, _ = mls_grid._dedup_fuse(
+    gx2, gy2, z2, v2, keep, _, _ = mls_grid._dedup_fuse(
         gx, gy, zf, vf, mf, bx, pool.ny
     )
     arrays = {f: getattr(pool, f).reshape(bx, pool.ny, pool.k)

@@ -121,7 +121,7 @@ class MLSGrid:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["xy", "z", "stdev", "valid"],
+    data_fields=["xy", "z", "stdev", "valid", "color"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -132,16 +132,26 @@ class PatchCloud:
     MLS grid (``EmbodiedSlamFilter.cpp:137-160``): the projection
     pipeline fuses sensor points per cell and emits one patch per
     occupied cell.  ``match``/``merge`` consume it directly.
+    ``color`` carries texture/terrain-class RGB (the ImageRGB24 path,
+    ``EmbodiedSlamFilter.cpp:259-275``); zeros when untextured.
     """
 
     xy: jax.Array     # [P, 2] float32
     z: jax.Array      # [P]    float32
     stdev: jax.Array  # [P]    float32
     valid: jax.Array  # [P]    bool
+    color: jax.Array  # [P, 3] float32
 
     @property
     def p(self):
         return self.xy.shape[0]
+
+    @staticmethod
+    def create(xy, z, stdev, valid, color=None):
+        if color is None:
+            color = jnp.zeros(xy.shape[:-1] + (3,), xy.dtype)
+        return PatchCloud(xy=xy, z=z, stdev=stdev, valid=valid,
+                          color=color)
 
 
 # --------------------------------------------------------------------------
@@ -245,12 +255,13 @@ def get_patch_packed(packed: PackedLookup, points, z_window=3.0):
 # Patch insertion / fusion
 # --------------------------------------------------------------------------
 
-def _dedup_fuse(ix, iy, z, var, mask, nx, ny):
+def _dedup_fuse(ix, iy, z, var, mask, nx, ny, color=None):
     """Gaussian-fuse points that land in the same cell.
 
     Sorts by linear cell id and segment-reduces inverse-variance-weighted
     sums, leaving exactly one surviving (masked-in) entry per occupied
-    cell.  Fixed shape [P]; fully on-device.
+    cell.  Fixed shape [P]; fully on-device.  ``color`` [P, 3], when
+    given, fuses by the same weights.
     """
     p = ix.shape[0]
     lin = jnp.where(mask, ix * ny + iy, nx * ny)  # invalid -> sentinel
@@ -272,17 +283,24 @@ def _dedup_fuse(ix, iy, z, var, mask, nx, ny):
     fused_z = zsum / jnp.maximum(wsum, 1e-30)
     fused_var = 1.0 / jnp.maximum(wsum, 1e-30)
 
+    fused_color = None
+    if color is not None:
+        csum = jax.ops.segment_sum(
+            w[:, None] * color[order], seg, num_segments=p
+        )
+        fused_color = (csum / jnp.maximum(wsum, 1e-30)[:, None])[seg]
+
     keep = first & mask_s
     return (
         ix[order], iy[order],
         fused_z[seg], fused_var[seg],
-        keep, order,
+        keep, order, fused_color,
     )
 
 
 def scatter_fuse_cells(
     arrays, ix, iy, z, var, keep, update_idx,
-    patch_thickness=0.1, gap_size=1.5, x_oob=None,
+    patch_thickness=0.1, gap_size=1.5, x_oob=None, color=None,
 ):
     """Fuse one measurement per (unique) cell into K patch slots.
 
@@ -364,7 +382,7 @@ def scatter_fuse_cells(
     # entries write out-of-bounds and are discarded.
     six = jnp.where(keep, ix, x_oob)
     scat = lambda dst, val: dst.at[six, giy].set(val, mode="drop")
-    return {
+    out = {
         "mean": scat(arrays["mean"], means),
         "stdev": scat(arrays["stdev"], stdevs),
         "height": scat(arrays["height"], heights),
@@ -372,10 +390,19 @@ def scatter_fuse_cells(
         "horizontal": scat(arrays["horizontal"], horiz),
         "update_idx": scat(arrays["update_idx"], uidx),
     }
+    if color is not None and "color" in arrays:
+        # written slots take the (fused) measurement colour
+        # (terrain-class RGB riding on patches, ContactModel.cpp:238-240)
+        cell_colors = arrays["color"][gix, giy]           # [P, K, 3]
+        cell_colors = jnp.where(
+            upd[..., None], color[:, None, :], cell_colors
+        )
+        out["color"] = scat(arrays["color"], cell_colors)
+    return out
 
 
 def merge_points(grid: MLSGrid, xy, z, stdev, mask, update_idx,
-                 patch_thickness=0.1, gap_size=1.5):
+                 patch_thickness=0.1, gap_size=1.5, color=None):
     """Scatter-fuse a batch of surface measurements into the grid.
 
     The TPU equivalent of looping ``MLSGrid::updateCell`` over projected
@@ -393,19 +420,49 @@ def merge_points(grid: MLSGrid, xy, z, stdev, mask, update_idx,
     ix, iy, inb = grid.to_grid(xy)
     mask = mask & inb
     var = stdev * stdev
-    ix, iy, z, var, keep, order = _dedup_fuse(
-        ix, iy, z, var, mask, grid.nx, grid.ny
+    ix, iy, z, var, keep, order, fcolor = _dedup_fuse(
+        ix, iy, z, var, mask, grid.nx, grid.ny, color=color
     )
     arrays = {
         "mean": grid.mean, "stdev": grid.stdev, "height": grid.height,
         "valid": grid.valid, "horizontal": grid.horizontal,
         "update_idx": grid.update_idx,
     }
+    if color is not None:
+        arrays["color"] = grid.color
     out = scatter_fuse_cells(
         arrays, ix, iy, z, var, keep, update_idx,
-        patch_thickness=patch_thickness, gap_size=gap_size,
+        patch_thickness=patch_thickness, gap_size=gap_size, color=fcolor,
     )
     return dataclasses.replace(grid, **out)
+
+
+def apply_negative_points(grid: MLSGrid, points, mask, z_margin=0.15):
+    """Negative information: invalidate patches contradicted by
+    observed free space.
+
+    The capability behind ``useNegativeInformation`` in envire's
+    ``MLSProjection`` (enabled by ``gridUseNegativeInformation``,
+    ``EmbodiedSlamFilter.cpp:160``): a sensor ray passing through a
+    cell at height z is evidence there is no surface there; existing
+    patches whose mean lies within ``z_margin`` of a free-space sample
+    are removed.  ``points`` [P, 3] free-space samples (see
+    ``projection.free_space_points``); collisions resolve via
+    scatter-max of hit flags (deterministic).
+    """
+    ix, iy, inb = grid.to_grid(points[..., :2])
+    m = mask & inb
+    cix = jnp.where(m, ix, grid.nx)  # out-of-bounds -> dropped
+    ciy = jnp.where(m, iy, 0)
+    gix = jnp.where(m, ix, 0)
+    means = grid.mean[gix, ciy]                     # [P, K]
+    hit = (
+        grid.valid[gix, ciy]
+        & (jnp.abs(means - points[..., 2:3]) <= z_margin)
+        & m[..., None]
+    )
+    hits = jnp.zeros_like(grid.valid).at[cix, ciy].max(hit, mode="drop")
+    return dataclasses.replace(grid, valid=grid.valid & ~hits)
 
 
 # --------------------------------------------------------------------------
@@ -458,4 +515,5 @@ def merge_cloud(grid: MLSGrid, cloud: PatchCloud, rot2d, trans, z_offset,
     return merge_points(
         grid, xy_g, z_g, stdev, cloud.valid, update_idx,
         patch_thickness=patch_thickness, gap_size=gap_size,
+        color=cloud.color,
     )

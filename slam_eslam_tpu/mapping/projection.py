@@ -98,6 +98,7 @@ def project_points(
     sensor_sigma=0.02,
     sensor_angle_sigma=SCAN_ANGLE_SIGMA,
     body_angle_sigma=PITCH_ROLL_SIGMA,
+    color=None,
 ):
     """Points (sensor frame) -> ``PatchCloud`` in the yaw-compensated
     body frame, with propagated z uncertainty.
@@ -126,9 +127,41 @@ def project_points(
     dz_body = body_angle_sigma * jnp.sqrt(p_w[:, 0] ** 2 + p_w[:, 1] ** 2)
     stdev = jnp.sqrt(sensor_sigma**2 + dz_sensor**2 + dz_body**2)
 
-    return PatchCloud(
-        xy=p_w[:, :2], z=p_w[:, 2], stdev=stdev, valid=valid
+    return PatchCloud.create(
+        xy=p_w[:, :2], z=p_w[:, 2], stdev=stdev, valid=valid, color=color
     )
+
+
+def free_space_points(points, valid, sensor2body_rot, sensor2body_trans,
+                      orientation, samples=6, min_frac=0.15, max_frac=0.85):
+    """Free-space samples along sensor rays (negative information).
+
+    For each valid hit point, sample ``samples`` positions along the
+    ray between the sensor origin and the hit (fractions in
+    [min_frac, max_frac] so neither the sensor housing nor the surface
+    itself is erased).  Returns ``(points [P*samples, 3], mask)`` in the
+    same yaw-compensated body frame as ``project_points``.
+    """
+    p_body = points @ sensor2body_rot.T + sensor2body_trans
+    q0 = geometry.remove_yaw(orientation)
+    p_w = geometry.quat_rotate(q0[None, :], p_body)
+    origin = geometry.quat_rotate(q0, sensor2body_trans)
+
+    fr = jnp.linspace(min_frac, max_frac, samples)
+    free = origin[None, None, :] + fr[None, :, None] * (
+        p_w[:, None, :] - origin[None, None, :]
+    )                                                   # [P, S, 3]
+    mask = jnp.broadcast_to(valid[:, None], free.shape[:2])
+    return free.reshape(-1, 3), mask.reshape(-1)
+
+
+def texture_colors(img: DistanceImage, texture):
+    """Per-point RGB from a texture image aligned with the distance
+    image (the ImageRGB24 input, ``EmbodiedSlamFilter.cpp:259-275``).
+    ``texture`` [H, W, 3] in [0, 1] -> [H*W, 3] matching
+    ``distance_image_to_points`` ordering."""
+    h, w = img.data.shape
+    return jnp.asarray(texture, jnp.float32).reshape(h * w, 3)
 
 
 def _tilt_angle(q):

@@ -293,3 +293,63 @@ class TestDistanceImageMapping:
     def test_featurecloud_stub(self):
         f = shared_filter()
         assert f.update_featurecloud(None) is False
+
+    def test_texture_colors_reach_map(self):
+        """ImageRGB24 texture path: colours ride the distance-image
+        merge into the shared map (EmbodiedSlamFilter.cpp:259-275)."""
+        f = shared_filter(n=8)
+        img = proj.DistanceImage(
+            data=jnp.full((4, 4), 1.0),
+            scale_x=jnp.asarray(0.1), scale_y=jnp.asarray(0.1),
+            center_x=jnp.asarray(-0.2), center_y=jnp.asarray(-0.2),
+        )
+        texture = np.tile([0.9, 0.1, 0.0], (4, 4, 1))
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        r = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], float).T
+        assert f.update_distance_image(
+            (q, np.zeros(3)), img, (r, np.zeros(3)), texture=texture
+        ) is True
+        from slam_eslam_tpu.mapping import mls_grid
+
+        # the merged patches carry the texture colour
+        colored = np.asarray(f.shared_grid.color)[
+            np.asarray(f.shared_grid.valid)
+        ]
+        touched = colored[(colored**2).sum(-1) > 0]
+        assert len(touched) > 0
+        np.testing.assert_allclose(touched[0], [0.9, 0.1, 0.0], atol=0.05)
+
+    def test_negative_information_camera_path(self):
+        """gridUseNegativeInformation: free-space along camera rays
+        erases contradicted patches in the shared map."""
+        cfg = small_config(n=8, grid_use_negative_information=True)
+        f = EmbodiedSlamFilter(config=cfg)
+        grid = simlib.terrain_grid(
+            terrain, nx=64, ny=64, resolution=0.25, origin=(-8.0, -8.0)
+        )
+        # plant a phantom patch floating above the terrain ahead of the
+        # robot (in the camera's view corridor)
+        import jax.numpy as jnpp
+        from slam_eslam_tpu.mapping import mls_grid
+
+        phantom_xy = jnpp.array([[0.0, 0.6]])
+        grid = mls_grid.merge_points(
+            grid, phantom_xy, jnpp.array([0.9]), jnpp.array([0.05]),
+            jnpp.array([True]), 0, gap_size=0.3,
+        )
+        f.init(pose=(np.array([0.0, 0.0, 0.85]), 0.0), shared_grid=grid,
+               use_shared_map=True)
+        img = proj.DistanceImage(
+            data=jnp.full((6, 6), 1.6),
+            scale_x=jnp.asarray(0.08), scale_y=jnp.asarray(0.08),
+            center_x=jnp.asarray(-0.2), center_y=jnp.asarray(-0.2),
+        )
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        # camera z -> body +y (forward), camera y (down) -> body -z
+        cam = np.array([[1.0, 0, 0], [0, 0, 1], [0, -1, 0]])
+        f.update_distance_image((q, np.zeros(3)), img, (cam, np.zeros(3)))
+        found, _, _, _ = mls_grid.get_patch(
+            f.shared_grid,
+            jnpp.array([[0.0, 0.6, 0.9]]), 0.1,
+        )
+        assert not bool(found[0]), "phantom patch should be erased"

@@ -25,7 +25,7 @@ def make_cloud(pose, n=400, key=0):
          s * local[:, 0] + c * local[:, 1] + pose[1]], axis=1
     )
     z = terrain(world[:, 0], world[:, 1]).astype(np.float32)
-    return PatchCloud(
+    return PatchCloud.create(
         xy=jnp.asarray(local), z=jnp.asarray(z - pose[3]),
         stdev=jnp.full((n,), 0.05), valid=jnp.ones((n,), bool),
     )

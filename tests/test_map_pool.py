@@ -125,7 +125,7 @@ class TestFusedMergeMatch:
     def _cloud(self, n=32, z=1.0):
         key = jax.random.PRNGKey(3)
         xy = jax.random.uniform(key, (n, 2), minval=-2.0, maxval=2.0)
-        return PatchCloud(
+        return PatchCloud.create(
             xy=xy, z=jnp.full((n,), z), stdev=jnp.full((n,), 0.1),
             valid=jnp.ones((n,), bool),
         )

@@ -148,6 +148,63 @@ class TestMergeAndLookup:
         assert int(g.valid.sum()) == 0
 
 
+class TestColorAndNegative:
+    def test_merge_carries_color(self):
+        from slam_eslam_tpu.mapping.mls_grid import apply_negative_points
+
+        g = make_grid()
+        xy = jnp.array([[0.0, 0.0]])
+        color = jnp.array([[1.0, 0.2, 0.0]])
+        g = merge_points(g, xy, jnp.array([0.5]), jnp.array([0.1]),
+                         jnp.array([True]), 0, color=color)
+        found, mean, stdev, c = get_patch(g, jnp.array([[0.0, 0.0, 0.5]]))
+        assert bool(found[0])
+        np.testing.assert_allclose(np.asarray(c[0]), [1.0, 0.2, 0.0],
+                                   atol=1e-6)
+
+    def test_same_cell_colors_fused(self):
+        g = make_grid()
+        xy = jnp.array([[0.1, 0.1], [0.2, 0.2]])
+        color = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        g = merge_points(g, xy, jnp.array([1.0, 1.0]),
+                         jnp.array([0.5, 0.5]), jnp.array([True, True]),
+                         0, color=color)
+        _, _, _, c = get_patch(g, jnp.array([[0.1, 0.1, 1.0]]))
+        np.testing.assert_allclose(np.asarray(c[0]), [0.5, 0.5, 0.0],
+                                   atol=1e-5)
+
+    def test_negative_information_removes_contradicted(self):
+        from slam_eslam_tpu.mapping.mls_grid import apply_negative_points
+
+        g = make_grid()
+        ones = jnp.array([True, True])
+        g = merge_points(g, jnp.array([[0.0, 0.0], [1.0, 1.0]]),
+                         jnp.array([0.5, 2.0]), jnp.array([0.1, 0.1]),
+                         ones, 0, gap_size=0.3)
+        # free-space observation passes through (0,0) at z=0.5 -> that
+        # patch is contradicted; the distant-level patch survives
+        free = jnp.array([[0.0, 0.0, 0.55], [5.0, 5.0, 0.0]])
+        g2 = apply_negative_points(g, free, jnp.array([True, True]),
+                                   z_margin=0.15)
+        f1, _, _, _ = get_patch(g2, jnp.array([[0.0, 0.0, 0.5]]))
+        f2, _, _, _ = get_patch(g2, jnp.array([[1.0, 1.0, 2.0]]))
+        assert not bool(f1[0])
+        assert bool(f2[0])
+
+    def test_negative_far_z_untouched(self):
+        from slam_eslam_tpu.mapping.mls_grid import apply_negative_points
+
+        g = make_grid()
+        g = merge_points(g, jnp.array([[0.0, 0.0]]), jnp.array([2.0]),
+                         jnp.array([0.1]), jnp.array([True]), 0)
+        # ray passes well below the bridge patch: patch survives
+        free = jnp.array([[0.0, 0.0, 0.2]])
+        g2 = apply_negative_points(g, free, jnp.array([True]),
+                                   z_margin=0.15)
+        f, _, _, _ = get_patch(g2, jnp.array([[0.0, 0.0, 2.0]]))
+        assert bool(f[0])
+
+
 class TestMatchMergeCloud:
     def _flat_grid(self, z=0.0):
         g = make_grid(nx=40, ny=40, res=0.25, origin=(-5.0, -5.0))
@@ -160,7 +217,7 @@ class TestMatchMergeCloud:
     def _cloud(self, z=0.0, n=64):
         key = jax.random.PRNGKey(0)
         xy = jax.random.uniform(key, (n, 2), minval=-2.0, maxval=2.0)
-        return PatchCloud(
+        return PatchCloud.create(
             xy=xy, z=jnp.full((n,), z), stdev=jnp.full((n,), 0.05),
             valid=jnp.ones((n,), bool),
         )
@@ -191,7 +248,7 @@ class TestMatchMergeCloud:
 
     def test_merge_cloud_rotation(self):
         g = make_grid(nx=40, ny=40, res=0.25, origin=(-5.0, -5.0))
-        c = PatchCloud(
+        c = PatchCloud.create(
             xy=jnp.array([[2.0, 0.0]]), z=jnp.array([1.0]),
             stdev=jnp.array([0.1]), valid=jnp.array([True]),
         )

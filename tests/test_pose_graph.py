@@ -97,7 +97,7 @@ class TestScanAlign:
             terrain(np.asarray(world[:, 0]), np.asarray(world[:, 1])),
             jnp.float32,
         )
-        cloud = PatchCloud(
+        cloud = PatchCloud.create(
             xy=pts, z=z, stdev=jnp.full((128,), 0.05),
             valid=jnp.ones((128,), bool),
         )

@@ -39,6 +39,41 @@ class TestDistanceImage:
         np.testing.assert_allclose(pts[1], [0.1, -0.1, 2.0], atol=1e-6)
 
 
+class TestFreeSpace:
+    def test_samples_lie_on_ray(self):
+        pts = jnp.array([[2.0, 0.0, 0.0]])
+        free, mask = proj.free_space_points(
+            pts, jnp.array([True]), jnp.eye(3), jnp.zeros(3),
+            geometry.quat_identity(), samples=4,
+        )
+        assert free.shape == (4, 3)
+        assert bool(mask.all())
+        # all samples between origin and hit, on the x-axis
+        np.testing.assert_allclose(free[:, 1:], 0.0, atol=1e-6)
+        assert (np.asarray(free[:, 0]) > 0.2).all()
+        assert (np.asarray(free[:, 0]) < 1.8).all()
+
+    def test_invalid_rays_masked(self):
+        pts = jnp.array([[2.0, 0.0, 0.0], [1.0, 1.0, 0.0]])
+        _, mask = proj.free_space_points(
+            pts, jnp.array([True, False]), jnp.eye(3), jnp.zeros(3),
+            geometry.quat_identity(), samples=3,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mask), [True] * 3 + [False] * 3
+        )
+
+    def test_sensor_offset_origin(self):
+        pts = jnp.array([[1.0, 0.0, 0.0]])
+        free, _ = proj.free_space_points(
+            pts, jnp.array([True]), jnp.eye(3),
+            jnp.array([0.0, 0.0, 1.0]), geometry.quat_identity(),
+            samples=2, min_frac=0.0, max_frac=1.0,
+        )
+        # ray from (0,0,1) to body point (1,0,1): z stays 1
+        np.testing.assert_allclose(free[:, 2], 1.0, atol=1e-6)
+
+
 class TestProjectPoints:
     def test_identity_transform(self):
         pts = jnp.array([[1.0, 0.0, 0.5]])
