@@ -32,36 +32,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gather_kernel(lx_ref, ly_ref, table_ref, out_ref, *, w, channels):
-    """One tile: out[t] = table[lx[t], ly[t], :]."""
+def _gather_kernel(lx_ref, ly_ref, table_ref, out_ref, *, w, channels,
+                   mxu_dtype):
+    """One tile: out[t] = table[lx[t], ly[t], :].
+
+    Both matmuls run in ``mxu_dtype`` (bf16 by default: one-hots are
+    exact in bf16 and the MXU is native bf16 — the f32 path runs ~8x
+    slower through the systolic array; table bf16 rounding costs <0.5%
+    relative on patch means, far below the measurement noise).
+    """
     lx = lx_ref[...]                       # [T, 1] int32
     ly = ly_ref[...]                       # [T, 1]
     t = lx.shape[0]
 
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
-    oh_x = (lx == iota_w).astype(jnp.float32)          # [T, W]
+    oh_x = (lx == iota_w).astype(mxu_dtype)            # [T, W]
     # table arrives pre-flattened [W, W*C] (Mosaic cannot shape-cast
     # (W, W, C) -> (W, W*C) in-kernel)
-    rows = jnp.dot(oh_x, table_ref[...], preferred_element_type=jnp.float32)
+    rows = jnp.dot(
+        oh_x, table_ref[...].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
+    )
 
     # y-select mask over the (y-major, channel-minor) column order of
     # ``rows``: mask[t, y*C + c] = (ly[t] == y)
     colid = jax.lax.broadcasted_iota(jnp.int32, (t, w * channels), 1)
-    mask = (ly == colid // channels).astype(jnp.float32)
-    masked = rows * mask
+    mask = (ly == colid // channels)
+    masked = jnp.where(mask, rows, 0.0).astype(mxu_dtype)
 
     # collapse y: constant selector S[(y*C + c), c'] = (c == c')
     col = jax.lax.broadcasted_iota(jnp.int32, (w * channels, channels), 0)
     outc = jax.lax.broadcasted_iota(jnp.int32, (w * channels, channels), 1)
-    sel = ((col % channels) == outc).astype(jnp.float32)
+    sel = ((col % channels) == outc).astype(mxu_dtype)
     out_ref[...] = jnp.dot(masked, sel, preferred_element_type=jnp.float32)
 
 
-def window_gather(table, lx, ly, *, tile=512, interpret=False):
+def window_gather(table, lx, ly, *, tile=512, interpret=False,
+                  mxu_dtype=jnp.bfloat16):
     """Gather ``table[W, W, C]`` rows at per-query cells ``(lx, ly)``.
 
     ``lx, ly``: int32 [Q], assumed pre-clamped to [0, W).  Returns
     ``[Q, C]`` float32.  Q is padded to a tile multiple internally.
+    ``mxu_dtype=jnp.float32`` gives exact values at ~8x the matmul cost.
     """
     w, w2, channels = table.shape
     assert w == w2, "square windows only"
@@ -73,7 +85,8 @@ def window_gather(table, lx, ly, *, tile=512, interpret=False):
     table2 = table.reshape(w, w * channels)
 
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, w=w, channels=channels),
+        functools.partial(_gather_kernel, w=w, channels=channels,
+                          mxu_dtype=mxu_dtype),
         grid=(qp // tile,),
         in_specs=[
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
@@ -92,7 +105,8 @@ def window_gather(table, lx, ly, *, tile=512, interpret=False):
 
 
 def windowed_get_patch(packed, points, z_window=3.0, window=64,
-                       margin=2, tile=512, interpret=False):
+                       margin=2, tile=512, interpret=False,
+                       mxu_dtype=jnp.bfloat16):
     """Drop-in ``get_patch_packed`` replacement using the Pallas window
     kernel.
 
@@ -129,7 +143,8 @@ def windowed_get_patch(packed, points, z_window=3.0, window=64,
     lxc = jnp.clip(lx, 0, window - 1)
     lyc = jnp.clip(ly, 0, window - 1)
 
-    cell = window_gather(table, lxc, lyc, tile=tile, interpret=interpret)
+    cell = window_gather(table, lxc, lyc, tile=tile, interpret=interpret,
+                         mxu_dtype=mxu_dtype)
     means = cell[:, :k]
     stdevs = cell[:, k:]
     valids = stdevs >= 0.0
@@ -155,7 +170,7 @@ def windowed_get_patch(packed, points, z_window=3.0, window=64,
 
 
 def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=512,
-                         interpret=False):
+                         interpret=False, mxu_dtype=jnp.bfloat16):
     """Lookup factory for the pose estimator (shared-map mode) using the
     Pallas window kernel.  ``map_id`` is ignored.
 
@@ -173,7 +188,7 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=512,
         del map_id
         return windowed_get_patch(
             packed, points, z_window, window=window, tile=tile,
-            interpret=interpret,
+            interpret=interpret, mxu_dtype=mxu_dtype,
         )
 
     # consumes the whole [N, C, 3] batch (window shared across particles)

@@ -33,9 +33,23 @@ class TestWindowGather:
         table = jax.random.normal(key, (w, w, c))
         lx = jax.random.randint(jax.random.PRNGKey(1), (100,), 0, w)
         ly = jax.random.randint(jax.random.PRNGKey(2), (100,), 0, w)
-        out = pg.window_gather(table, lx, ly, tile=64, interpret=True)
+        out = pg.window_gather(table, lx, ly, tile=64, interpret=True,
+                               mxu_dtype=jnp.float32)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(table[lx, ly]), rtol=1e-6
+        )
+
+    def test_bf16_within_rounding(self):
+        # default bf16 MXU path: exact selection, values rounded to bf16
+        key = jax.random.PRNGKey(0)
+        w, c = 16, 8
+        table = jax.random.normal(key, (w, w, c))
+        lx = jax.random.randint(jax.random.PRNGKey(1), (64,), 0, w)
+        ly = jax.random.randint(jax.random.PRNGKey(2), (64,), 0, w)
+        out = pg.window_gather(table, lx, ly, tile=64, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(table[lx, ly]),
+            rtol=1e-2, atol=1e-2,
         )
 
     def test_padding_handled(self):
@@ -63,7 +77,8 @@ class TestWindowedGetPatch:
         )
         ref = mls_grid.get_patch_packed(packed, pts, 3.0)
         out = pg.windowed_get_patch(
-            packed, pts, 3.0, window=64, interpret=True
+            packed, pts, 3.0, window=64, interpret=True,
+            mxu_dtype=jnp.float32,
         )
         np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
         f = np.asarray(ref[0])
@@ -72,6 +87,17 @@ class TestWindowedGetPatch:
         )
         np.testing.assert_allclose(
             np.asarray(out[2])[f], np.asarray(ref[2])[f], rtol=1e-6
+        )
+        # default bf16 path: selection identical, values within rounding
+        out16 = pg.windowed_get_patch(
+            packed, pts, 3.0, window=64, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out16[0]), np.asarray(ref[0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(out16[1])[f], np.asarray(ref[1])[f],
+            rtol=1e-2, atol=5e-3,
         )
 
     def test_out_of_window_misses(self, packed):
