@@ -231,6 +231,48 @@ class TestUpdateE2E:
         zerr = abs(float(c_pos[2]) - pos[2])
         assert zerr < 0.15, f"z error {zerr}"
 
+    def test_localization_while_turning(self):
+        """Curved trajectory: yaw tracking + body-frame odometry
+        composition stay consistent (exercises the R(yaw) delta
+        rotation, PoseEstimator.cpp:205)."""
+        grid, lookup, cfg, sim, state = self._setup(n_particles=96,
+                                                    spread=0.3)
+        sim = simlib.TrajectorySim(terrain, speed=0.06, yaw_rate=0.06)
+
+        @jax.jit
+        def step_fn(state, cs, q, delta_xy, dyaw, dz):
+            o = dataclasses.replace(
+                state.odometry,
+                delta_xy=delta_xy, delta_yaw=dyaw, delta_z=dz,
+                sigma_xy=jnp.array([0.01, 0.02]),
+                sigma_yaw=jnp.asarray(0.01),
+                sigma_z=jnp.asarray(0.01),
+                initialized=jnp.ones((), bool),
+            )
+            state = dataclasses.replace(state, odometry=o)
+            state = pe.project(state, q, cfg)
+            state, aux = pe.update(state, cs, q, lookup, cfg)
+            return state, aux
+
+        errs, yaw_errs = [], []
+        for i in range(35):
+            (pos, yaw), (d_body, dyaw, dz) = sim.step()
+            cs = sim.contact_state(noise=0.005)
+            q = geometry.quat_from_yaw(jnp.asarray(yaw, jnp.float32))
+            state, aux = step_fn(
+                state, cs, q,
+                jnp.asarray(d_body, jnp.float32),
+                jnp.asarray(dyaw, jnp.float32),
+                jnp.asarray(dz, jnp.float32),
+            )
+            c_pos, c_q = pe.centroid(state.particles, q)
+            errs.append(np.linalg.norm(np.asarray(c_pos)[:2] - pos[:2]))
+            cy = float(geometry.yaw_from_quat(c_q))
+            yaw_errs.append(abs(np.arctan2(np.sin(cy - yaw),
+                                           np.cos(cy - yaw))))
+        assert np.mean(errs[-10:]) < 0.3, f"ATE {np.mean(errs[-10:])}"
+        assert np.mean(yaw_errs[-10:]) < 0.15
+
     def test_update_resamples_on_low_ess(self):
         grid, lookup, cfg, sim, state = self._setup(n_particles=32)
         # force degenerate weights
