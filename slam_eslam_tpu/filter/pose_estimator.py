@@ -261,9 +261,15 @@ def update(
     map_lookup,
     cfg: Config,
     terrain_prob=None,
+    resampler=None,
 ):
     """Measurement update + ESS-gated resampling
     (``PoseEstimator::update``, ``PoseEstimator.cpp:244-255``).
+
+    ``resampler``: optional override ``(key, weights, particles) ->
+    (particles, idx)`` — e.g. ``parallel.resample.make_ppermute_resampler``
+    for ring-hop payload exchange on a device mesh (the default gather
+    formulation is correct on a mesh too, just heavier on ICI).
 
     Returns ``(state, aux)``; ``aux.resampled`` reports whether the
     resample branch fired (map cloning hooks key off it).
@@ -281,6 +287,8 @@ def update(
     def resample(p_norm):
         # stratified resampling carries the normalised weights with the
         # copied particles (ParticleFilter.hpp:104)
+        if resampler is not None:
+            return resampler(k_rs, weight, p_norm)
         idx = pf.resample_stratified(k_rs, weight, p.n)
         return pf.take(p_norm, idx), idx
 

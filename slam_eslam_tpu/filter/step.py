@@ -27,7 +27,7 @@ from slam_eslam_tpu.parallel import sharding as shd
 
 
 def make_filter_step(cfg: Config, map_lookup=None, mesh=None, jit=True,
-                     lookup_factory=None):
+                     lookup_factory=None, resampler=None):
     """Build ``step(state, contact_state, orientation, gate[, map_state])
     -> (state, aux)``.
 
@@ -40,6 +40,10 @@ def make_filter_step(cfg: Config, map_lookup=None, mesh=None, jit=True,
     Pass either a closed-over ``map_lookup`` (static map; embedded as a
     compile-time constant) or a ``lookup_factory(map_state)`` — the map
     then travels as a runtime argument, so map updates don't retrace.
+
+    ``resampler``: optional resampling override forwarded to
+    ``pose_estimator.update`` (e.g. the ppermute ring exchange on
+    meshes, ``parallel.resample.make_ppermute_resampler(mesh)``).
     """
 
     def step(state, contact_state: BodyContactState, orientation, gate_ref,
@@ -63,7 +67,8 @@ def make_filter_step(cfg: Config, map_lookup=None, mesh=None, jit=True,
 
         def do(state):
             s, aux = pe.update(
-                state, contact_state, orientation, lookup, cfg
+                state, contact_state, orientation, lookup, cfg,
+                resampler=resampler,
             )
             return dataclasses.replace(
                 s, particles=shd.constrain_particles(s.particles, mesh)

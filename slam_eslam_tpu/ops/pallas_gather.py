@@ -169,10 +169,204 @@ def windowed_get_patch(packed, points, z_window=3.0, window=64,
     )
 
 
+def _fused_select_kernel(lx_ref, ly_ref, z_ref, table_ref, out_ref, *, w,
+                         k, z_window, mxu_dtype, stage1, stage2):
+    """One tile of the fused lookup+z-select kernel.
+
+    Gathers ``cell = table[lx, ly, :]`` (2K channels: K means then K
+    stdevs) like ``_gather_kernel``, then performs the MLS z-window slot
+    selection *in VMEM* (the reference semantics of
+    ``MLSMap::getPatch(p, patch, zwin)``, ``PoseEstimator.hpp:97-105``):
+    best = argmin |mean - z| over slots with ``stdev >= 0`` and
+    ``|mean - z| <= z_window``.  Emits ``[T, 8]`` rows
+    ``(found, mean, stdev, 0...)`` — 2K/3x less HBM write traffic than
+    the raw gather and no XLA-side argmin/take pass.
+
+    ``stage1`` selects the x-row gather: ``'onehot'`` (MXU one-hot
+    matmul) or ``'dg'`` (Mosaic ``dynamic_gather`` over sublanes; table
+    pre-padded to T rows).  ``stage2`` selects the y/channel reduction:
+    ``'matmul'`` (mask + constant selector matmul), ``'fold'``
+    (lane-halving adds down to 128 lanes + tiny selector matmul), or
+    ``'dg'`` (lane ``dynamic_gather``).
+    """
+    c = 2 * k
+    lx = lx_ref[...]                       # [T, 1] int32
+    ly = ly_ref[...]                       # [T, 1]
+    t = lx.shape[0]
+    wc = w * c
+
+    if stage1 == "dg":
+        # table padded to [T, W*C]; one batched sublane gather
+        idx = jnp.broadcast_to(lx, (t, wc))
+        rows = jnp.take_along_axis(
+            table_ref[...], idx, axis=0, mode="promise_in_bounds"
+        )
+    else:
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+        oh_x = (lx == iota_w).astype(mxu_dtype)            # [T, W]
+        rows = jnp.dot(
+            oh_x, table_ref[...].astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )                                                  # [T, W*C]
+
+    colid = jax.lax.broadcasted_iota(jnp.int32, (t, wc), 1)
+    if stage2 == "dg":
+        # lane gather: cell[t, c'] = rows[t, ly[t]*C + c']
+        idx2 = ly * c + (colid % c)
+        g = jnp.take_along_axis(rows, idx2, axis=1,
+                                mode="promise_in_bounds")
+        cell = g[:, :c]
+    else:
+        mask = (ly == colid // c)
+        masked = jnp.where(mask, rows, 0.0)
+        if stage2 == "fold":
+            # halve the lane width by adding y-group blocks (the y-select
+            # mask already zeroed every other group) until one 128-lane
+            # vreg remains, then collapse with a tiny constant matmul.
+            width = wc
+            x = masked
+            while width > 128:
+                width //= 2
+                x = x[:, :width] + x[:, width:]
+            col = jax.lax.broadcasted_iota(jnp.int32, (width, c), 0)
+            outc = jax.lax.broadcasted_iota(jnp.int32, (width, c), 1)
+            sel = ((col % c) == outc).astype(mxu_dtype)
+            cell = jnp.dot(x.astype(mxu_dtype), sel,
+                           preferred_element_type=jnp.float32)
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, (wc, c), 0)
+            outc = jax.lax.broadcasted_iota(jnp.int32, (wc, c), 1)
+            sel = ((col % c) == outc).astype(mxu_dtype)
+            cell = jnp.dot(masked.astype(mxu_dtype), sel,
+                           preferred_element_type=jnp.float32)
+
+    # ---- fused z-window slot selection (all [T, 2K] lane ops; the mean
+    # lanes are 0..K-1, each paired stdev sits K lanes to the right) ----
+    z = z_ref[...]                                          # [T, 1] f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, c), 1)
+    is_mean = lane < k
+    stds = pltpu.roll(cell, shift=k, axis=1)  # stdev of mean-lane j at lane j
+    dist = jnp.abs(cell - z)
+    cand = is_mean & (stds >= 0.0) & (dist <= z_window)
+    dist_inf = jnp.where(cand, dist, jnp.inf)
+    mind = jnp.min(dist_inf, axis=1, keepdims=True)
+    score = jnp.where(cand & (dist_inf == mind), lane, c)
+    best = jnp.min(score, axis=1, keepdims=True)            # [T, 1]
+    bm = lane == best
+    mean_b = jnp.sum(jnp.where(bm, cell, 0.0), axis=1, keepdims=True)
+    stdev_b = jnp.sum(jnp.where(bm, stds, 0.0), axis=1, keepdims=True)
+    found = (best < c).astype(jnp.float32)
+    pad = jnp.zeros((t, 5), jnp.float32)
+    out_ref[...] = jnp.concatenate([found, mean_b, stdev_b, pad], axis=1)
+
+
+def window_select(table, lx, ly, z, *, z_window=3.0, tile=512,
+                  interpret=False, mxu_dtype=jnp.bfloat16,
+                  stage1="onehot", stage2="matmul"):
+    """Fused gather + z-window slot select.
+
+    ``table [W, W, 2K]`` (means ‖ stdevs, stdev<0 = empty slot),
+    ``lx, ly`` int32 ``[Q]`` pre-clamped to ``[0, W)``, ``z`` float32
+    ``[Q]``.  Returns ``(found [Q] bool, mean [Q], stdev [Q])``.
+    """
+    w, w2, c = table.shape
+    assert w == w2, "square windows only"
+    k = c // 2
+    q = lx.shape[0]
+    qp = ((q + tile - 1) // tile) * tile
+    pad = qp - q
+    lxp = jnp.pad(lx, (0, pad))[:, None]
+    lyp = jnp.pad(ly, (0, pad))[:, None]
+    zp = jnp.pad(z, (0, pad))[:, None].astype(jnp.float32)
+    table2 = table.reshape(w, w * c)
+    rows = w
+    if stage1 == "dg":
+        rows = max(tile, w)
+        table2 = jnp.pad(table2, ((0, rows - w), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_select_kernel, w=w, k=k, z_window=z_window,
+            mxu_dtype=mxu_dtype, stage1=stage1, stage2=stage2,
+        ),
+        grid=(qp // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, w * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, 8), jnp.float32),
+        interpret=interpret,
+    )(lxp, lyp, zp, table2)
+    out = out[:q]
+    return out[:, 0] > 0.5, out[:, 1], out[:, 2]
+
+
+def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
+                             tile=512, interpret=False,
+                             mxu_dtype=jnp.bfloat16,
+                             stage1="onehot", stage2="matmul"):
+    """``windowed_get_patch`` with the z-window slot selection fused into
+    the kernel (see ``_fused_select_kernel``)."""
+    nx, ny = packed.data.shape[0], packed.data.shape[1]
+    flat = points.reshape(-1, 3)
+    rel = (flat[:, :2] - packed.origin) / packed.resolution
+    ix = jnp.floor(rel[:, 0]).astype(jnp.int32)
+    iy = jnp.floor(rel[:, 1]).astype(jnp.int32)
+    inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+
+    cx = jnp.clip(
+        jnp.mean(jnp.clip(ix, 0, nx - 1)).astype(jnp.int32) - window // 2,
+        0, max(nx - window, 0),
+    )
+    cy = jnp.clip(
+        jnp.mean(jnp.clip(iy, 0, ny - 1)).astype(jnp.int32) - window // 2,
+        0, max(ny - window, 0),
+    )
+    table = jax.lax.dynamic_slice(
+        packed.data, (cx, cy, 0), (window, window, 2 * packed.k)
+    )
+
+    lx = ix - cx
+    ly = iy - cy
+    inw = inb & (lx >= 0) & (lx < window) & (ly >= 0) & (ly < window)
+    lxc = jnp.clip(lx, 0, window - 1)
+    lyc = jnp.clip(ly, 0, window - 1)
+
+    found, mean, stdev = window_select(
+        table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,
+        interpret=interpret, mxu_dtype=mxu_dtype,
+        stage1=stage1, stage2=stage2,
+    )
+    found = found & inw
+    stdev = jnp.abs(stdev)
+
+    shape = points.shape[:-1]
+    color = jnp.zeros(shape + (3,), mean.dtype)
+    return (
+        found.reshape(shape),
+        mean.reshape(shape),
+        stdev.reshape(shape),
+        color,
+    )
+
+
 def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=512,
-                         interpret=False, mxu_dtype=jnp.bfloat16):
+                         interpret=False, mxu_dtype=jnp.bfloat16,
+                         fused=True, stage1="onehot", stage2="matmul"):
     """Lookup factory for the pose estimator (shared-map mode) using the
     Pallas window kernel.  ``map_id`` is ignored.
+
+    ``fused=True`` (default) runs the z-window slot selection inside the
+    kernel (``windowed_get_patch_fused``); ``fused=False`` keeps the raw
+    ``[Q, 2K]`` gather + XLA-side selection.
 
     NOTE: unlike the full-grid gather, lookups farther than
     ``window * resolution / 2`` from the query-cloud centroid miss; use
@@ -186,6 +380,12 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=512,
 
     def lookup(map_id, points):
         del map_id
+        if fused:
+            return windowed_get_patch_fused(
+                packed, points, z_window, window=window, tile=tile,
+                interpret=interpret, mxu_dtype=mxu_dtype,
+                stage1=stage1, stage2=stage2,
+            )
         return windowed_get_patch(
             packed, points, z_window, window=window, tile=tile,
             interpret=interpret, mxu_dtype=mxu_dtype,

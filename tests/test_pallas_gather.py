@@ -61,6 +61,74 @@ class TestWindowGather:
         np.testing.assert_allclose(out, np.asarray(table[lx, ly]))
 
 
+class TestFusedSelect:
+    """The fused z-select kernel must reproduce the packed-lookup
+    semantics (slot selection included) for every stage variant."""
+
+    @pytest.mark.parametrize("stage1", ["onehot", "dg"])
+    @pytest.mark.parametrize("stage2", ["matmul", "fold", "dg"])
+    def test_matches_packed_lookup(self, packed, stage1, stage2):
+        key = jax.random.PRNGKey(3)
+        pts = jnp.concatenate(
+            [
+                jax.random.uniform(key, (300, 2), minval=-1.5, maxval=1.5),
+                jax.random.uniform(
+                    jax.random.PRNGKey(4), (300, 1), minval=-0.6,
+                    maxval=0.6,
+                ),
+            ],
+            axis=1,
+        )
+        ref = mls_grid.get_patch_packed(packed, pts, 3.0)
+        out = pg.windowed_get_patch_fused(
+            packed, pts, 3.0, window=64, interpret=True,
+            mxu_dtype=jnp.float32, stage1=stage1, stage2=stage2,
+        )
+        f = np.asarray(ref[0])
+        np.testing.assert_array_equal(np.asarray(out[0]), f)
+        np.testing.assert_allclose(
+            np.asarray(out[1])[f], np.asarray(ref[1])[f], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[2])[f], np.asarray(ref[2])[f], rtol=1e-6
+        )
+
+    def test_multi_slot_z_window_selection(self):
+        """Cells with several patches must resolve to the |mean-z|-argmin
+        slot within the z-window, like get_patch/get_patch_packed."""
+        k = 4
+        data = jnp.full((16, 16, 2 * k), -1.0)
+        # cell (3, 5): slots at z = 0.0, 1.5, 4.0 (stdevs 0.1, 0.2, 0.3)
+        data = data.at[3, 5, :3].set(jnp.array([0.0, 1.5, 4.0]))
+        data = data.at[3, 5, k:k + 3].set(jnp.array([0.1, 0.2, 0.3]))
+        packed = mls_grid.PackedLookup(
+            data=data, origin=jnp.zeros(2), resolution=1.0
+        )
+        pts = jnp.array([
+            [3.5, 5.5, 0.2],   # nearest slot 0
+            [3.5, 5.5, 1.2],   # nearest slot 1
+            [3.5, 5.5, 3.4],   # nearest slot 2
+            [3.5, 5.5, 9.0],   # all beyond z_window=3 -> miss
+            [8.5, 8.5, 0.0],   # empty cell -> miss
+        ])
+        found, mean, stdev, _ = pg.windowed_get_patch_fused(
+            packed, pts, 3.0, window=16, interpret=True,
+            mxu_dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(found), [True, True, True, False, False]
+        )
+        np.testing.assert_allclose(np.asarray(mean)[:3], [0.0, 1.5, 4.0])
+        np.testing.assert_allclose(np.asarray(stdev)[:3], [0.1, 0.2, 0.3])
+
+    def test_lookup_factory_fused_default(self, packed):
+        lookup = pg.windowed_grid_lookup(packed, interpret=True)
+        pts = jnp.zeros((4, 5, 3))
+        found, mean, stdev, color = lookup(None, pts)
+        assert found.shape == (4, 5)
+        assert color.shape == (4, 5, 3)
+
+
 class TestWindowedGetPatch:
     def test_matches_packed_lookup_in_window(self, packed):
         key = jax.random.PRNGKey(3)

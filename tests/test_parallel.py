@@ -71,6 +71,101 @@ class TestDistributedResample:
         assert sorted(np.asarray(idx).tolist()) == list(range(64))
 
 
+class TestPpermuteResample:
+    """Ring-hop payload exchange must equal the all-gather formulation
+    (and the single-device oracle) for every weight-imbalance regime."""
+
+    CASES = {
+        "random": lambda: jax.random.uniform(
+            jax.random.PRNGKey(1), (64,)) + 0.01,
+        "collapse_high": lambda: jnp.concatenate(
+            [jnp.full((56,), 1e-6), jnp.ones((8,))]),
+        "collapse_low": lambda: jnp.concatenate(
+            [jnp.ones((8,)), jnp.full((56,), 1e-6)]),
+        "degenerate": lambda: jnp.zeros((64,)),
+    }
+
+    @pytest.mark.parametrize("case", sorted(CASES))
+    def test_matches_single_device(self, mesh, case):
+        key = jax.random.PRNGKey(5)
+        w = self.CASES[case]()
+        payload = {
+            "xy": jnp.arange(64.0)[:, None] * jnp.ones((1, 2)),
+            "map_id": jnp.arange(64, dtype=jnp.int32),
+        }
+        wn, ess_ref = pf.normalize_weights(w)
+        idx_ref = pf.resample_systematic(key, wn, 64)
+
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("dp")
+        )
+        w_s = jax.device_put(w, sh)
+        pay_s = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh), payload
+        )
+        out, idxg, ess = jax.jit(
+            lambda k, ww, pp: dres.resample_ppermute(k, ww, pp, mesh)
+        )(key, w_s, pay_s)
+
+        np.testing.assert_array_equal(np.asarray(idxg), np.asarray(idx_ref))
+        # the moved payload is exactly the gather by the global indices
+        np.testing.assert_array_equal(
+            np.asarray(out["map_id"]), np.asarray(idxg)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["xy"])[:, 0], np.asarray(idxg)
+        )
+        np.testing.assert_allclose(float(ess), float(ess_ref), rtol=1e-5)
+
+    def test_stratified_scheme_matches_reference_statistics(self, mesh):
+        """scheme='stratified' reproduces the single-device stratified
+        resample (the reference's scheme) bit-for-bit on indices."""
+        key = jax.random.PRNGKey(5)
+        w = jax.random.uniform(jax.random.PRNGKey(1), (64,)) + 0.01
+        wn, _ = pf.normalize_weights(w)
+        idx_ref = pf.resample_stratified(key, wn, 64)
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("dp")
+        )
+        payload = {"i": jnp.arange(64, dtype=jnp.int32)}
+        out, idxg, _ = jax.jit(
+            lambda k, ww, pp: dres.resample_ppermute(
+                k, ww, pp, mesh, scheme="stratified"
+            )
+        )(
+            key, jax.device_put(w, sh),
+            jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), payload),
+        )
+        np.testing.assert_array_equal(np.asarray(idxg), np.asarray(idx_ref))
+        np.testing.assert_array_equal(np.asarray(out["i"]), np.asarray(idxg))
+
+    def test_full_step_with_ppermute_resampler(self, mesh):
+        """The ring-hop resampler must drop into the jitted, lax.cond-
+        gated filter step on a mesh and match the gather formulation."""
+        import __graft_entry__ as g
+        from slam_eslam_tpu.filter import step as steplib
+
+        cfg, lookup, state, cs, q = g._build(64, nx=32, ny=32)
+        cfg = dataclasses.replace(cfg, min_effective=64)  # force resample
+        gate = (np.float32(1.0), np.float32(0.0))
+
+        state_sh = shd.shard_state(state, mesh)
+        f_plain = steplib.make_filter_step(cfg, lookup, mesh=mesh)
+        f_pp = steplib.make_filter_step(
+            cfg, lookup, mesh=mesh,
+            resampler=dres.make_ppermute_resampler(mesh),
+        )
+        out_a, _ = f_plain(state_sh, cs, q, gate)
+        out_b, _ = f_pp(state_sh, cs, q, gate)
+        np.testing.assert_allclose(
+            np.asarray(out_a.particles.weight),
+            np.asarray(out_b.particles.weight),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_a.particles.xy), np.asarray(out_b.particles.xy)
+        )
+
+
 class TestShardedFilterStep:
     def test_full_step_on_mesh(self, mesh):
         # the dryrun path: full filter step sharded dp over 8 devices
