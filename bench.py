@@ -139,10 +139,12 @@ def main():
 
 
 def bench_slam(args):
-    """Full orchestrator loop: contact updates + per-particle map merges
-    + hash reinjection (BASELINE config #3 shape, at per-particle-map
-    scale: the reference operates 250 particles; per-particle maps at
-    100k would need ~TB of map memory in any design)."""
+    """Full SLAM loop, device-resident: contact updates + motion-gated
+    per-particle scan match/merge fused into one ``lax.scan`` dispatch
+    (``filter/streaming.py``) — measures device compute, not host/tunnel
+    dispatch latency (BASELINE config #3 shape; the reference operates
+    250 particles; per-particle maps at 100k would need ~TB of map
+    memory in any design)."""
     import dataclasses
     import time
 
@@ -153,12 +155,9 @@ def bench_slam(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from slam_eslam_tpu.config import (
-        Config, ContactModelConfig, SurfaceHashConfig,
-    )
+    from slam_eslam_tpu.config import Config, ContactModelConfig
+    from slam_eslam_tpu.filter import streaming
     from slam_eslam_tpu.filter.eslam_filter import EmbodiedSlamFilter
-    from slam_eslam_tpu.mapping import projection as proj
-    from slam_eslam_tpu.models import sim as simlib
     from slam_eslam_tpu.models.asguard import AsguardSim
 
     n = min(args.particles, 1024) if args.particles == 100_000 else args.particles
@@ -187,33 +186,44 @@ def bench_slam(args):
     q = np.array([1.0, 0, 0, 0], np.float32)
 
     n_rays = 64
-    scan = proj.LaserScan(
-        ranges=jnp.full((n_rays,), 2.0),
-        start_angle=jnp.asarray(-np.pi / 2),
-        angular_resolution=jnp.asarray(np.pi / n_rays),
+    scan_meta = (
+        jnp.asarray(-np.pi / 2, jnp.float32),
+        jnp.asarray(np.pi / n_rays, jnp.float32),
     )
     lb = (np.eye(3), np.zeros(3))
 
     steps = args.steps if args.steps != 10 else 20
-    # warm up compiles
-    sim.step(wheel_delta=0.3, on_substep=lambda s: f.update_contact(
-        (q, s.position.astype(np.float64)), s.contact_state()))
-    f.update_scan((q, sim.position.astype(np.float64)), scan, lb)
+    # pre-generate the frame stream (scan on each step's last substep)
+    frame_list = []
 
-    frames = 0
-    t0 = time.time()
+    def cb(s):
+        frame_list.append([
+            s.contact_state(), jnp.asarray(q),
+            jnp.asarray(s.position, jnp.float32),
+            jnp.full((n_rays,), 2.0, jnp.float32),
+            scan_meta, jnp.asarray(False),
+        ])
+
     for _ in range(steps):
-        def frame(s):
-            nonlocal frames
-            f.update_contact(
-                (q, s.position.astype(np.float64)), s.contact_state()
-            )
-            frames += 1
+        sim.step(wheel_delta=0.3, on_substep=cb)
+        frame_list[-1][5] = jnp.asarray(True)
+    stacked = streaming.stack_frames([tuple(fr) for fr in frame_list])
+    frames = len(frame_list)
 
-        sim.step(wheel_delta=0.3, on_substep=frame)
-        f.update_scan((q, sim.position.astype(np.float64)), scan, lb)
-    jax.block_until_ready(f.state.particles.weight)
-    dt = time.time() - t0
+    carry0 = streaming.StreamingState.create(f.state, f.pool)
+    run = streaming.make_slam_scan_runner(cfg, laser2body=lb)
+
+    t0 = time.time()
+    carry, aux = run(carry0, stacked)
+    jax.block_until_ready(aux["centroid"])
+    compile_s = time.time() - t0
+
+    dt = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.time()
+        carry, aux = run(carry0, stacked)
+        jax.block_until_ready(aux["centroid"])
+        dt = min(dt, time.time() - t0)
 
     import json
 
@@ -227,8 +237,11 @@ def bench_slam(args):
     import sys
 
     print(
-        f"# {frames} contact frames + {steps} scan merges in {dt:.2f}s, "
-        f"map patches={int(jnp.sum(f.pool.valid))}",
+        f"# {frames} contact frames ({steps} scan frames, "
+        f"{int(np.asarray(aux['mapped']).sum())} merges gated in, "
+        f"{int(np.asarray(aux['updated']).sum())} measurement updates) "
+        f"in {dt:.3f}s (compile+first {compile_s:.1f}s), "
+        f"map patches={int(jnp.sum(carry.pool.valid))}",
         file=sys.stderr,
     )
 

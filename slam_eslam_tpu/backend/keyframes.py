@@ -60,6 +60,7 @@ class KeyframeManager:
         self.builder = pgr.PoseGraphBuilder(max_nodes, max_edges)
         self.keyframes: list[Keyframe] = []
         self.closures: list[tuple] = []
+        self._optimized_edges = 0  # edges present at the last optimize
 
     def _rel_pose(self, a, b):
         """Pose of b in a's frame."""
@@ -137,8 +138,41 @@ class KeyframeManager:
         self.closures.append((old.index, kf.index, float(score)))
         return (old.index, kf.index, float(score))
 
-    def optimize(self, iters=10):
-        hist = self.builder.optimize(iters)
+    def optimize(self, iters=10, incremental=False, margin=3,
+                 solver="dense", mesh=None, cg_iters=32):
+        """Re-solve the graph.
+
+        ``incremental=True`` re-solves only the *affected* subgraph: it
+        freezes every node older than (earliest node touched by an edge
+        added since the last optimize) − ``margin`` via the solver's
+        ``fix_mask`` — the warm-started trajectory prefix is already
+        consistent, so only the suffix reachable from new constraints
+        needs iteration.  A no-op (returns the cached trajectory) when
+        nothing new arrived.  ``solver``/``mesh`` forward to
+        ``PoseGraphBuilder.optimize`` (dense MXU Cholesky vs
+        matrix-free, optionally mesh-distributed, PCG).
+        """
+        import numpy as _np
+
+        fix_mask = None
+        if incremental:
+            b = self.builder
+            if b.n_edges == self._optimized_edges:
+                return self.trajectory(), jnp.zeros((0,))
+            new_sl = slice(self._optimized_edges, b.n_edges)
+            touched = int(
+                min(
+                    _np.asarray(b.graph.edge_i[new_sl]).min(),
+                    _np.asarray(b.graph.edge_j[new_sl]).min(),
+                )
+            )
+            cut = max(0, touched - margin)
+            fix_mask = jnp.arange(b.graph.nodes.shape[0]) < cut
+        hist = self.builder.optimize(
+            iters, fix_mask=fix_mask, solver=solver, mesh=mesh,
+            cg_iters=cg_iters,
+        )
+        self._optimized_edges = self.builder.n_edges
         return self.trajectory(), hist
 
     def trajectory(self):

@@ -53,61 +53,102 @@ class PoseGraph:
     edge_valid: jax.Array  # [E] bool
 
     @staticmethod
-    def empty(max_nodes, max_edges):
+    def empty(max_nodes, max_edges, dim=3):
+        """``dim=3``: planar SE(2) nodes (x, y, yaw).  ``dim=4``: the
+        filter's full state manifold SE(2) x R — (x, y, z, yaw), matching
+        the reference particle (``PoseParticle.hpp:52-86``); z enters as
+        a frame-independent offset (yaw-only rotations)."""
         return PoseGraph(
-            nodes=jnp.zeros((max_nodes, 3)),
+            nodes=jnp.zeros((max_nodes, dim)),
             node_valid=jnp.zeros((max_nodes,), bool),
             edge_i=jnp.zeros((max_edges,), jnp.int32),
             edge_j=jnp.zeros((max_edges,), jnp.int32),
-            edge_z=jnp.zeros((max_edges, 3)),
-            edge_info=jnp.zeros((max_edges, 3, 3)),
+            edge_z=jnp.zeros((max_edges, dim)),
+            edge_info=jnp.zeros((max_edges, dim, dim)),
             edge_valid=jnp.zeros((max_edges,), bool),
         )
 
+    @property
+    def dim(self):
+        return self.nodes.shape[1]
 
-def edge_residuals(graph: PoseGraph):
-    """Residuals [E, 3] and Jacobians ([E, 3, 3] wrt i, [E, 3, 3] wrt j)."""
-    pi = graph.nodes[graph.edge_i]
-    pj = graph.nodes[graph.edge_j]
-    ci, si = jnp.cos(pi[:, 2]), jnp.sin(pi[:, 2])
+
+def edge_residuals(graph: PoseGraph, edge_sl=slice(None)):
+    """Residuals [E, D] and Jacobians ([E, D, D] wrt i, [E, D, D] wrt j)
+    for D = 3 (x, y, yaw) or 4 (x, y, z, yaw).  ``edge_sl`` restricts to
+    an edge subset (the shard-local slice in distributed solves)."""
+    d = graph.dim
+    ei = graph.edge_i[edge_sl]
+    ej = graph.edge_j[edge_sl]
+    ez = graph.edge_z[edge_sl]
+    pi = graph.nodes[ei]
+    pj = graph.nodes[ej]
+    yaw_c = d - 1  # yaw is always the last component
+    ci, si = jnp.cos(pi[:, yaw_c]), jnp.sin(pi[:, yaw_c])
     dt = pj[:, :2] - pi[:, :2]
     # R_i^T dt
     lx = ci * dt[:, 0] + si * dt[:, 1]
     ly = -si * dt[:, 0] + ci * dt[:, 1]
-    r = jnp.stack(
-        [
-            lx - graph.edge_z[:, 0],
-            ly - graph.edge_z[:, 1],
-            wrap_angle(pj[:, 2] - pi[:, 2] - graph.edge_z[:, 2]),
-        ],
-        axis=-1,
-    )
+    r_yaw = wrap_angle(pj[:, yaw_c] - pi[:, yaw_c] - ez[:, yaw_c])
     zeros = jnp.zeros_like(ci)
     ones = jnp.ones_like(ci)
-    # d r / d (xi, yi, yawi)
-    ji = jnp.stack(
-        [
-            jnp.stack([-ci, -si, -si * dt[:, 0] + ci * dt[:, 1]], -1),
-            jnp.stack([si, -ci, -ci * dt[:, 0] - si * dt[:, 1]], -1),
-            jnp.stack([zeros, zeros, -ones], -1),
-        ],
-        axis=-2,
-    )
-    # d r / d (xj, yj, yawj)
-    jj = jnp.stack(
-        [
-            jnp.stack([ci, si, zeros], -1),
-            jnp.stack([-si, ci, zeros], -1),
-            jnp.stack([zeros, zeros, ones], -1),
-        ],
-        axis=-2,
-    )
+
+    rows = [lx - ez[:, 0], ly - ez[:, 1]]
+    # d r / d (xi, yi, [zi,] yawi) — row-major per residual row
+    ji_rows = [
+        [-ci, -si] + ([zeros] if d == 4 else []) + [-si * dt[:, 0] + ci * dt[:, 1]],
+        [si, -ci] + ([zeros] if d == 4 else []) + [-ci * dt[:, 0] - si * dt[:, 1]],
+    ]
+    jj_rows = [
+        [ci, si] + ([zeros] if d == 4 else []) + [zeros],
+        [-si, ci] + ([zeros] if d == 4 else []) + [zeros],
+    ]
+    if d == 4:
+        rows.append(pj[:, 2] - pi[:, 2] - ez[:, 2])
+        ji_rows.append([zeros, zeros, -ones, zeros])
+        jj_rows.append([zeros, zeros, ones, zeros])
+    rows.append(r_yaw)
+    ji_rows.append([zeros] * (d - 1) + [-ones])
+    jj_rows.append([zeros] * (d - 1) + [ones])
+
+    r = jnp.stack(rows, axis=-1)
+    ji = jnp.stack([jnp.stack(row, -1) for row in ji_rows], axis=-2)
+    jj = jnp.stack([jnp.stack(row, -1) for row in jj_rows], axis=-2)
     return r, ji, jj
 
 
-def gauss_newton_step(graph: PoseGraph, damping=1e-6, fix_first=True):
-    """One dense GN step.  Returns (graph', chi2_before)."""
+def _apply_delta(graph: PoseGraph, delta, fix_mask):
+    d = graph.dim
+    free = graph.node_valid
+    if fix_mask is not None:
+        free = free & ~fix_mask
+    delta = jnp.where(free[:, None], delta, 0.0)
+    nodes = graph.nodes + delta
+    nodes = nodes.at[:, d - 1].set(wrap_angle(nodes[:, d - 1]))
+    return dataclasses.replace(graph, nodes=nodes)
+
+
+def _pin_diag(graph: PoseGraph, fix_first, fix_mask):
+    """Gauge/constraint pinning weights [M]: large values freeze a node
+    (gauge anchor, invalid slots, and the incremental-solve fixed set)."""
     m = graph.nodes.shape[0]
+    diag_pin = jnp.zeros((m,), graph.nodes.dtype)
+    if fix_first:
+        diag_pin = diag_pin.at[0].set(1e9)
+    diag_pin = jnp.where(graph.node_valid, diag_pin, 1e9)
+    if fix_mask is not None:
+        diag_pin = jnp.where(fix_mask, 1e9, diag_pin)
+    return diag_pin
+
+
+def gauss_newton_step(graph: PoseGraph, damping=1e-6, fix_first=True,
+                      fix_mask=None):
+    """One dense GN step (MXU Cholesky over the [D*M, D*M] normal
+    matrix).  ``fix_mask [M]`` freezes nodes (incremental re-solves
+    touch only the affected suffix of the trajectory).  Returns
+    ``(graph', chi2_before)``."""
+    m = graph.nodes.shape[0]
+    d = graph.dim
     r, ji, jj = edge_residuals(graph)
     w = graph.edge_valid[:, None, None].astype(r.dtype)
     info = graph.edge_info * w
@@ -124,42 +165,182 @@ def gauss_newton_step(graph: PoseGraph, damping=1e-6, fix_first=True):
     bi = jnp.einsum("eki,ekl,el->ei", ji, info, r)
     bj = jnp.einsum("eki,ekl,el->ei", jj, info, r)
 
-    h = jnp.zeros((m, m, 3, 3), r.dtype)
+    h = jnp.zeros((m, m, d, d), r.dtype)
     h = h.at[graph.edge_i, graph.edge_i].add(hii)
     h = h.at[graph.edge_i, graph.edge_j].add(hij)
     h = h.at[graph.edge_j, graph.edge_i].add(
         jnp.swapaxes(hij, -1, -2)
     )
     h = h.at[graph.edge_j, graph.edge_j].add(hjj)
-    b = jnp.zeros((m, 3), r.dtype)
+    b = jnp.zeros((m, d), r.dtype)
     b = b.at[graph.edge_i].add(bi)
     b = b.at[graph.edge_j].add(bj)
 
-    hd = jnp.transpose(h, (0, 2, 1, 3)).reshape(3 * m, 3 * m)
-    bd = b.reshape(3 * m)
+    hd = jnp.transpose(h, (0, 2, 1, 3)).reshape(d * m, d * m)
+    bd = b.reshape(d * m)
 
-    # gauge fixing: anchor node 0 (and pin invalid nodes)
-    diag_pin = jnp.ones((m,), r.dtype) * 0.0
-    if fix_first:
-        diag_pin = diag_pin.at[0].set(1e9)
-    diag_pin = jnp.where(graph.node_valid, diag_pin, 1e9)
-    pin = jnp.repeat(diag_pin, 3)
+    pin = jnp.repeat(_pin_diag(graph, fix_first, fix_mask), d)
     hd = hd + jnp.diag(pin + damping)
 
     delta = jax.scipy.linalg.solve(hd, -bd, assume_a="pos")
-    delta = delta.reshape(m, 3)
-    delta = jnp.where(graph.node_valid[:, None], delta, 0.0)
-    nodes = graph.nodes + delta
-    nodes = nodes.at[:, 2].set(wrap_angle(nodes[:, 2]))
-    return dataclasses.replace(graph, nodes=nodes), chi2
+    return _apply_delta(graph, delta.reshape(m, d), fix_mask), chi2
 
 
-def optimize(graph: PoseGraph, iters=10, damping=1e-6):
+def optimize(graph: PoseGraph, iters=10, damping=1e-6, fix_mask=None):
     """Run ``iters`` GN steps inside ``lax.scan``; returns
     ``(graph, chi2_history [iters])``."""
 
     def step(g, _):
-        g2, chi2 = gauss_newton_step(g, damping)
+        g2, chi2 = gauss_newton_step(g, damping, fix_mask=fix_mask)
+        return g2, chi2
+
+    graph, hist = jax.lax.scan(step, graph, None, length=iters)
+    return graph, hist
+
+
+# --------------------------------------------------------------------------
+# Matrix-free distributed solver (edge-parallel block-Jacobi PCG)
+# --------------------------------------------------------------------------
+
+def _edge_terms(graph: PoseGraph, edge_sl=slice(None)):
+    """Per-edge residuals/Jacobians/weighted info for a (shard-local)
+    edge slice."""
+    r, ji, jj = edge_residuals(graph, edge_sl)
+    w = graph.edge_valid[edge_sl][:, None, None].astype(r.dtype)
+    info = graph.edge_info[edge_sl] * w
+    return r, ji, jj, info
+
+
+def _scatter_nodes(m, d, ei, ej, vi, vj, dtype):
+    out = jnp.zeros((m, d), dtype)
+    out = out.at[ei].add(vi)
+    out = out.at[ej].add(vj)
+    return out
+
+
+def gauss_newton_step_cg(graph: PoseGraph, damping=1e-6, fix_first=True,
+                         fix_mask=None, cg_iters=32, mesh=None):
+    """One GN step with a **matrix-free block-Jacobi PCG** inner solve —
+    H is never materialised; each H-matvec is an edge-parallel pass
+    (gather node values at edge endpoints -> per-edge D x D block
+    products -> scatter-add).  With ``mesh`` the edges shard over the
+    ``('dp',)`` axis inside ``shard_map``: every device computes the
+    matvec partial for its edges and a ``psum`` over ICI completes it —
+    the trajectory-dimension distributed solve SURVEY §5 calls for
+    (scales past the dense Cholesky's [D*M]^2 memory at large M).
+
+    Requires the edge capacity to divide the mesh size.  Returns
+    ``(graph', chi2_before)``; identical math to ``gauss_newton_step``
+    up to CG tolerance.
+    """
+    m = graph.nodes.shape[0]
+    d = graph.dim
+    pin = _pin_diag(graph, fix_first, fix_mask) + damping
+
+    def solve_local(graph, edge_sl=slice(None), psum=lambda x: x):
+        r, ji, jj, info = _edge_terms(graph, edge_sl)
+        ei = graph.edge_i[edge_sl]
+        ej = graph.edge_j[edge_sl]
+        chi2 = psum(jnp.sum(
+            jnp.einsum("ei,eij,ej->e", r, info, r)
+        ))
+
+        # b = J^T W r
+        bi = jnp.einsum("eki,ekl,el->ei", ji, info, r)
+        bj = jnp.einsum("eki,ekl,el->ei", jj, info, r)
+        b = psum(_scatter_nodes(m, d, ei, ej, bi, bj, r.dtype))
+
+        # block-diagonal of H for the preconditioner
+        hii = jnp.einsum("eki,ekl,elj->eij", ji, info, ji)
+        hjj = jnp.einsum("eki,ekl,elj->eij", jj, info, jj)
+        diag = jnp.zeros((m, d, d), r.dtype)
+        diag = diag.at[ei].add(hii)
+        diag = diag.at[ej].add(hjj)
+        diag = psum(diag)
+        diag = diag + (pin[:, None, None]
+                       * jnp.eye(d, dtype=r.dtype)[None])
+        pre = jnp.linalg.inv(diag)                      # [M, D, D]
+
+        def matvec(x):
+            xi = x[ei]
+            xj = x[ej]
+            # y_e = W (Ji xi + Jj xj); scatter Ji^T y, Jj^T y
+            ye = jnp.einsum(
+                "ekl,el->ek", info,
+                jnp.einsum("ekj,ej->ek", ji, xi)
+                + jnp.einsum("ekj,ej->ek", jj, xj),
+            )
+            vi = jnp.einsum("eki,ek->ei", ji, ye)
+            vj = jnp.einsum("eki,ek->ei", jj, ye)
+            out = psum(_scatter_nodes(m, d, ei, ej, vi, vj, x.dtype))
+            return out + pin[:, None] * x
+
+        apply_pre = lambda v: jnp.einsum("mij,mj->mi", pre, v)
+
+        # PCG for H delta = -b
+        x0 = jnp.zeros((m, d), r.dtype)
+        r0 = -b
+        z0 = apply_pre(r0)
+        p0 = z0
+
+        def body(carry, _):
+            x, rr, z, p = carry
+            hp = matvec(p)
+            rz = jnp.sum(rr * z)
+            alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
+            x = x + alpha * p
+            r_new = rr - alpha * hp
+            z_new = apply_pre(r_new)
+            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-30)
+            p_new = z_new + beta * p
+            return (x, r_new, z_new, p_new), ()
+
+        (delta, *_), _ = jax.lax.scan(
+            body, (x0, r0, z0, p0), None, length=cg_iters
+        )
+        return delta, chi2
+
+    if mesh is None:
+        delta, chi2 = solve_local(graph)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        if hasattr(jax, "shard_map"):
+            _shard_map = jax.shard_map
+        else:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+        def local(ei, ej, ez, einfo, evalid):
+            g = dataclasses.replace(
+                graph, edge_i=ei, edge_j=ej, edge_z=ez,
+                edge_info=einfo, edge_valid=evalid,
+            )
+            axis = "dp"
+            psum = lambda x: jax.lax.psum(x, axis)
+            delta, chi2 = solve_local(g, psum=psum)
+            return delta, chi2[None]
+
+        delta, chi2 = _shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=(P(), P("dp")),
+        )(graph.edge_i, graph.edge_j, graph.edge_z, graph.edge_info,
+          graph.edge_valid)
+        chi2 = chi2[0]
+
+    return _apply_delta(graph, delta, fix_mask), chi2
+
+
+def optimize_cg(graph: PoseGraph, iters=10, damping=1e-6, fix_mask=None,
+                cg_iters=32, mesh=None):
+    """``optimize`` with the matrix-free (optionally mesh-distributed)
+    PCG inner solver."""
+
+    def step(g, _):
+        g2, chi2 = gauss_newton_step_cg(
+            g, damping, fix_mask=fix_mask, cg_iters=cg_iters, mesh=mesh
+        )
         return g2, chi2
 
     graph, hist = jax.lax.scan(step, graph, None, length=iters)
@@ -214,8 +395,9 @@ def scan_align(grid, cloud, xy0, yaw0, z0,
 class PoseGraphBuilder:
     """Host-side helper accumulating keyframes + constraints."""
 
-    def __init__(self, max_nodes=256, max_edges=1024):
-        self.graph = PoseGraph.empty(max_nodes, max_edges)
+    def __init__(self, max_nodes=256, max_edges=1024, dim=3):
+        self.graph = PoseGraph.empty(max_nodes, max_edges, dim=dim)
+        self.dim = dim
         self.n_nodes = 0
         self.n_edges = 0
 
@@ -234,7 +416,7 @@ class PoseGraphBuilder:
         e = self.n_edges
         g = self.graph
         if info is None:
-            info = jnp.eye(3) * 100.0
+            info = jnp.eye(self.dim) * 100.0
         self.graph = dataclasses.replace(
             g,
             edge_i=g.edge_i.at[e].set(i),
@@ -246,8 +428,22 @@ class PoseGraphBuilder:
         self.n_edges += 1
         return e
 
-    def optimize(self, iters=10):
-        self.graph, hist = jax.jit(
-            lambda g: optimize(g, iters)
-        )(self.graph)
+    def optimize(self, iters=10, fix_mask=None, solver="dense",
+                 cg_iters=32, mesh=None):
+        """``solver='dense'``: MXU Cholesky; ``'cg'``: matrix-free
+        block-Jacobi PCG, optionally mesh-distributed over the edge
+        axis."""
+        if solver == "cg":
+            fn = jax.jit(
+                lambda g, fm: optimize_cg(
+                    g, iters, fix_mask=fm, cg_iters=cg_iters, mesh=mesh
+                )
+            )
+        else:
+            fn = jax.jit(lambda g, fm: optimize(g, iters, fix_mask=fm))
+        self.graph, hist = fn(
+            self.graph,
+            (jnp.zeros((self.graph.nodes.shape[0],), bool)
+             if fix_mask is None else fix_mask),
+        )
         return hist

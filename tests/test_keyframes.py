@@ -90,3 +90,50 @@ class TestKeyframes:
         assert abs(after) < abs(before) * 0.6, (
             f"closure did not reduce drift: before={before} after={after}"
         )
+
+    def _drifted_manager(self, **kw):
+        km = KeyframeManager(
+            keyframe_distance=0.45, closure_radius=1.0,
+            min_separation=4, min_score=0.3, closure_info=2000.0, **kw,
+        )
+        xs = list(np.arange(0, 3.1, 0.5)) + list(np.arange(2.5, -0.1, -0.5))
+        drift = 0.0
+        for i, x in enumerate(xs):
+            true_pose = np.array([x, 0.0, 0.0, 0.2])
+            rep = true_pose.copy()
+            rep[1] += drift
+            added, _ = km.maybe_add_keyframe(
+                rep[:3], make_cloud(true_pose, key=100 + i),
+                z=true_pose[3],
+            )
+            if added:
+                drift += 0.06
+        return km
+
+    def test_incremental_optimize_matches_full(self):
+        """Incremental re-solve (fix-mask over the untouched prefix)
+        must land within mm of the full re-solve, and skip entirely
+        when no new constraints arrived."""
+        km_full = self._drifted_manager()
+        traj_full, _ = km_full.optimize(iters=15)
+
+        km_inc = self._drifted_manager()
+        # mid-traverse solve, then new constraints arrive, then an
+        # incremental re-solve of the affected suffix only
+        km_inc.optimize(iters=15)
+        assert km_inc._optimized_edges == km_inc.builder.n_edges
+        traj_a, hist = km_inc.optimize(iters=15, incremental=True)
+        assert hist.shape == (0,)  # no new edges -> no-op
+
+        n = len(km_full.keyframes)
+        np.testing.assert_allclose(
+            traj_a[:n], traj_full[:n], atol=5e-3
+        )
+
+    def test_cg_solver_path(self):
+        km = self._drifted_manager()
+        traj_dense, _ = km.optimize(iters=15)
+        km2 = self._drifted_manager()
+        traj_cg, _ = km2.optimize(iters=15, solver="cg", cg_iters=64)
+        n = len(km.keyframes)
+        np.testing.assert_allclose(traj_cg[:n], traj_dense[:n], atol=1e-3)

@@ -1,6 +1,7 @@
 """Pose-graph backend tests: GN convergence, loop closure, scan alignment."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,6 +82,96 @@ class TestGaussNewton:
         np.testing.assert_allclose(
             np.asarray(b.graph.nodes)[1], [1.0, 0, 0], atol=1e-3
         )
+
+
+def _circle_graph(dim, m=16, seed=0):
+    """Noisy circle trajectory with odometry + 3 closure edges."""
+    import dataclasses
+
+    rng = np.random.default_rng(seed)
+    g = pgr.PoseGraph.empty(m, 64, dim=dim)
+    th = np.linspace(0, 2 * np.pi, m, endpoint=False)
+    cols = [np.cos(th), np.sin(th)]
+    if dim == 4:
+        cols.append(0.1 * np.sin(2 * th))
+    cols.append(th + np.pi / 2)
+    gt = np.stack(cols, -1)
+    n0 = gt + rng.normal(0, 0.1, gt.shape)
+    n0[0] = gt[0]
+
+    def rel(a, b):
+        yaw = a[-1]
+        c, s = np.cos(yaw), np.sin(yaw)
+        d = b[:2] - a[:2]
+        out = [c * d[0] + s * d[1], -s * d[0] + c * d[1]]
+        if dim == 4:
+            out.append(b[2] - a[2])
+        out.append(np.arctan2(np.sin(b[-1] - a[-1]),
+                              np.cos(b[-1] - a[-1])))
+        return np.array(out)
+
+    pairs = [(k, k + 1) for k in range(m - 1)]
+    pairs += [(0, m - 1), (2, m - 2), (1, m // 2)]
+    ne = len(pairs)
+    ei = np.array([p[0] for p in pairs], np.int32)
+    ej = np.array([p[1] for p in pairs], np.int32)
+    ez = np.stack([rel(gt[a], gt[b]) for a, b in pairs])
+    g = dataclasses.replace(
+        g,
+        nodes=jnp.asarray(n0, jnp.float32),
+        node_valid=jnp.ones((m,), bool),
+        edge_i=g.edge_i.at[:ne].set(ei),
+        edge_j=g.edge_j.at[:ne].set(ej),
+        edge_z=g.edge_z.at[:ne].set(jnp.asarray(ez, jnp.float32)),
+        edge_info=g.edge_info.at[:ne].set(jnp.eye(dim) * 100.0),
+        edge_valid=g.edge_valid.at[:ne].set(True),
+    )
+    return g, jnp.asarray(gt, jnp.float32)
+
+
+def _pose_err(a, b):
+    d = a - b
+    d = d.at[:, -1].set(pgr.wrap_angle(d[:, -1]))
+    return float(jnp.abs(d).max())
+
+
+class TestSolverVariants:
+    """4-DoF graphs, the matrix-free PCG solver (local + mesh-sharded)
+    and fix-mask freezing must all agree with the dense MXU solve."""
+
+    @pytest.mark.parametrize("dim", [3, 4])
+    def test_dense_and_cg_converge(self, dim):
+        g, gt = _circle_graph(dim)
+        gd, hist = jax.jit(lambda g: pgr.optimize(g, 15))(g)
+        assert _pose_err(gd.nodes, gt) < 1e-3
+        assert float(hist[-1]) < 1e-6
+        gc, _ = jax.jit(lambda g: pgr.optimize_cg(g, 15, cg_iters=64))(g)
+        assert _pose_err(gc.nodes, gt) < 1e-3
+        assert _pose_err(gc.nodes, gd.nodes) < 1e-3
+
+    @pytest.mark.skipif(len(jax.devices()) < 8,
+                        reason="needs 8 (virtual) devices")
+    @pytest.mark.parametrize("dim", [3, 4])
+    def test_sharded_cg_matches_local(self, dim):
+        from slam_eslam_tpu.parallel import sharding as shd
+
+        g, gt = _circle_graph(dim)
+        mesh = shd.make_mesh(8)
+        gc, _ = jax.jit(lambda g: pgr.optimize_cg(g, 15, cg_iters=64))(g)
+        gs, _ = jax.jit(
+            lambda g: pgr.optimize_cg(g, 15, cg_iters=64, mesh=mesh)
+        )(g)
+        assert _pose_err(gs.nodes, gt) < 1e-3
+        assert _pose_err(gs.nodes, gc.nodes) < 1e-5
+
+    def test_fix_mask_freezes_prefix(self):
+        g, _ = _circle_graph(3)
+        fm = jnp.arange(16) < 8
+        gf, _ = jax.jit(lambda g: pgr.optimize(g, 10, fix_mask=fm))(g)
+        d = gf.nodes[:8] - g.nodes[:8]
+        d = d.at[:, -1].set(pgr.wrap_angle(d[:, -1]))
+        assert float(jnp.abs(d).max()) < 1e-6
+        assert not bool(jnp.allclose(gf.nodes[8:], g.nodes[8:]))
 
 
 class TestScanAlign:

@@ -1,0 +1,151 @@
+"""Device-resident streaming SLAM (filter/streaming.py).
+
+The fused lax.scan loop must reproduce the host-driven
+``EmbodiedSlamFilter`` pipeline (same jitted internals, same gating
+rule) when fed the identical frame stream.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_eslam_tpu.config import Config, ContactModelConfig
+from slam_eslam_tpu.filter import streaming
+from slam_eslam_tpu.filter.eslam_filter import EmbodiedSlamFilter
+from slam_eslam_tpu.mapping import projection as proj
+from slam_eslam_tpu.models.asguard import AsguardSim
+
+
+def terrain(x, y):
+    return 0.15 * np.sin(0.7 * np.asarray(x)) + 0.12 * np.cos(
+        0.5 * np.asarray(y)
+    )
+
+
+def _cfg(n=48):
+    return dataclasses.replace(
+        Config(), particle_count=n, min_effective=n // 2,
+        grid_size=10.0, grid_resolution=0.25,
+        map_pool_blocks=n + 16, map_chain_length=3,
+        contact_model=ContactModelConfig(
+            contact_point_radius=0.0, min_contacts=2
+        ),
+    )
+
+
+N_RAYS = 32
+SCAN_META = (
+    jnp.asarray(-np.pi / 2, jnp.float32),
+    jnp.asarray(np.pi / N_RAYS, jnp.float32),
+)
+
+
+def _scan():
+    return proj.LaserScan(
+        ranges=jnp.full((N_RAYS,), 2.0),
+        start_angle=SCAN_META[0],
+        angular_resolution=SCAN_META[1],
+    )
+
+
+def _drive_host(cfg, steps):
+    """Run the host driver; record the identical frame stream."""
+    f = EmbodiedSlamFilter(config=cfg)
+    sim = AsguardSim(terrain=terrain)
+    f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+           use_shared_map=False)
+    q = np.array([1.0, 0, 0, 0], np.float32)
+    lb = (np.eye(3), np.zeros(3))
+
+    frames = []
+    stats = {"updated": 0, "mapped": 0}
+
+    def cb(s):
+        cs = s.contact_state()
+        if f.update_contact((q, s.position.astype(np.float64)), cs):
+            stats["updated"] += 1
+        frames.append([cs, jnp.asarray(q),
+                       jnp.asarray(s.position, jnp.float32),
+                       jnp.full((N_RAYS,), 2.0, jnp.float32),
+                       SCAN_META, jnp.asarray(False)])
+
+    for _ in range(steps):
+        sim.step(wheel_delta=0.3, on_substep=cb)
+        if f.update_scan((q, sim.position.astype(np.float64)),
+                         _scan(), lb):
+            stats["mapped"] += 1
+        # the host processes the scan after the last substep of the
+        # step; mark that frame as carrying the scan
+        frames[-1][5] = jnp.asarray(True)
+    return f, frames, stats, lb
+
+
+class TestStreamingSlam:
+    def test_matches_host_driver(self):
+        cfg = _cfg()
+        f_host, frames, stats, lb = _drive_host(cfg, steps=6)
+
+        f2 = EmbodiedSlamFilter(config=cfg)
+        sim2 = AsguardSim(terrain=terrain)
+        f2.init(pose=(np.array([0.0, 0.0, sim2.position[2]]), 0.0),
+                use_shared_map=False)
+        carry = streaming.StreamingState.create(f2.state, f2.pool)
+        run = streaming.make_slam_scan_runner(cfg, laser2body=lb)
+        carry, aux = run(carry, streaming.stack_frames(
+            [tuple(fr) for fr in frames]
+        ))
+
+        assert int(np.asarray(aux["updated"]).sum()) == stats["updated"]
+        assert int(np.asarray(aux["mapped"]).sum()) == stats["mapped"]
+        np.testing.assert_allclose(
+            np.asarray(carry.filter.particles.weight),
+            np.asarray(f_host.state.particles.weight),
+            rtol=1e-5, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(carry.filter.particles.xy),
+            np.asarray(f_host.state.particles.xy),
+            rtol=1e-5, atol=1e-6,
+        )
+        # identical map pools: same allocation set, same active cells
+        np.testing.assert_array_equal(
+            np.asarray(carry.pool.allocated),
+            np.asarray(f_host.pool.allocated),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(carry.pool.chain), np.asarray(f_host.pool.chain)
+        )
+        np.testing.assert_allclose(
+            np.asarray(carry.pool.mean), np.asarray(f_host.pool.mean),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_single_dispatch(self):
+        """The whole trajectory must run as one compiled call (the
+        device-bound benchmark shape)."""
+        cfg = _cfg(n=16)
+        f = EmbodiedSlamFilter(config=cfg)
+        sim = AsguardSim(terrain=terrain)
+        f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+               use_shared_map=False)
+        frames = []
+        q = np.array([1.0, 0, 0, 0], np.float32)
+
+        def cb(s):
+            frames.append((s.contact_state(), jnp.asarray(q),
+                           jnp.asarray(s.position, jnp.float32),
+                           jnp.full((N_RAYS,), 2.0, jnp.float32),
+                           SCAN_META, jnp.asarray(True)))
+
+        for _ in range(3):
+            sim.step(wheel_delta=0.3, on_substep=cb)
+
+        carry = streaming.StreamingState.create(f.state, f.pool)
+        run = streaming.make_slam_scan_runner(cfg)
+        with jax.checking_leaks():
+            carry, aux = run(carry, streaming.stack_frames(frames))
+        assert aux["centroid"].shape == (len(frames), 3)
+        assert bool(np.isfinite(
+            np.asarray(carry.filter.particles.weight)).all())
