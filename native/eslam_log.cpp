@@ -164,6 +164,116 @@ const void* eslam_log_reader_get(void* handle, int64_t i, uint32_t* type,
   return rec.payload;
 }
 
+// --------------------------------------------------- batched access
+//
+// The streaming runner consumes whole trajectories as stacked arrays;
+// per-record Python decode loops would dominate. These entry points do
+// the per-record work natively: type filtering, index selection, and a
+// strided gather of fixed-size payloads into one caller-owned buffer
+// (a single numpy allocation -> a single device transfer).
+
+int64_t eslam_log_reader_count_type(void* handle, uint32_t type) {
+  auto* r = static_cast<Reader*>(handle);
+  if (!r) return -1;
+  int64_t n = 0;
+  for (const Record& rec : r->index) n += (rec.hdr.type == type);
+  return n;
+}
+
+// Fills up to `cap` record indices (and timestamps when `ts` is
+// non-null) of the given type; returns the number written.
+int64_t eslam_log_reader_select(void* handle, uint32_t type, int64_t* out,
+                                uint64_t* ts, int64_t cap) {
+  auto* r = static_cast<Reader*>(handle);
+  if (!r || !out) return -1;
+  int64_t n = 0;
+  for (int64_t i = 0; i < static_cast<int64_t>(r->index.size()); ++i) {
+    if (r->index[i].hdr.type != type) continue;
+    if (n >= cap) break;
+    out[n] = i;
+    if (ts) ts[n] = r->index[i].hdr.timestamp;
+    ++n;
+  }
+  return n;
+}
+
+// Gathers n payloads (record indices in `idx`) into `out`, each record
+// occupying `record_bytes`; payloads shorter than `record_bytes` are
+// zero-padded, longer ones truncated (callers pass the exact fixed
+// payload size in the common case). Returns 0, or -1 on a bad index.
+int eslam_log_reader_gather(void* handle, const int64_t* idx, int64_t n,
+                            uint32_t record_bytes, uint8_t* out) {
+  auto* r = static_cast<Reader*>(handle);
+  if (!r || !idx || !out) return -1;
+  for (int64_t k = 0; k < n; ++k) {
+    const int64_t i = idx[k];
+    if (i < 0 || i >= static_cast<int64_t>(r->index.size())) return -1;
+    const Record& rec = r->index[i];
+    const uint32_t m =
+        rec.hdr.size < record_bytes ? rec.hdr.size : record_bytes;
+    uint8_t* dst = out + static_cast<size_t>(k) * record_bytes;
+    std::memcpy(dst, rec.payload, m);
+    if (m < record_bytes) std::memset(dst + m, 0, record_bytes - m);
+  }
+  return 0;
+}
+
+// ------------------------------------------------------- compaction
+//
+// Rewrites `src` keeping only records whose type is in `types`
+// (n_types == 0 keeps all) and, per type, every `stride`-th occurrence
+// (stride <= 1 keeps all). Returns the number of records written, -1
+// on IO/format errors.
+void eslam_log_reader_close(void* handle);  // defined below
+
+int64_t eslam_log_compact(const char* src, const char* dst,
+                          const uint32_t* types, int32_t n_types,
+                          int64_t stride) {
+  void* rh = eslam_log_reader_open(src);
+  if (!rh) return -1;
+  auto* r = static_cast<Reader*>(rh);
+  void* wh = eslam_log_writer_open(dst);
+  if (!wh) {
+    eslam_log_reader_close(rh);
+    return -1;
+  }
+  if (stride < 1) stride = 1;
+  // per-type occurrence counters (small fixed set of types)
+  std::vector<std::pair<uint32_t, int64_t>> seen;
+  int64_t written = 0;
+  for (const Record& rec : r->index) {
+    bool keep = (n_types == 0);
+    for (int32_t t = 0; t < n_types; ++t) {
+      if (types[t] == rec.hdr.type) {
+        keep = true;
+        break;
+      }
+    }
+    if (!keep) continue;
+    int64_t* cnt = nullptr;
+    for (auto& kv : seen) {
+      if (kv.first == rec.hdr.type) cnt = &kv.second;
+    }
+    if (!cnt) {
+      seen.emplace_back(rec.hdr.type, 0);
+      cnt = &seen.back().second;
+    }
+    const bool take = (*cnt % stride) == 0;
+    ++*cnt;
+    if (!take) continue;
+    if (eslam_log_writer_append(wh, rec.hdr.type, rec.hdr.timestamp,
+                                rec.payload, rec.hdr.size) != 0) {
+      eslam_log_writer_close(wh);
+      eslam_log_reader_close(rh);
+      return -1;
+    }
+    ++written;
+  }
+  eslam_log_writer_close(wh);
+  eslam_log_reader_close(rh);
+  return written;
+}
+
 void eslam_log_reader_close(void* handle) {
   auto* r = static_cast<Reader*>(handle);
   if (!r) return;

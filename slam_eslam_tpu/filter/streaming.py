@@ -82,7 +82,7 @@ def _quat_angle(qa, qb):
 
 
 def make_slam_step(cfg: Config, laser2body=None, hash_=None,
-                   match=None, update=True):
+                   match=None, update=True, mesh=None):
     """Build the fused per-frame SLAM step.
 
     ``step(carry: StreamingState, frame) -> (StreamingState, aux)`` with
@@ -93,6 +93,15 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
     ``match``: scan-match visual update (default ``cfg.use_visual_update``,
     ``EmbodiedSlamFilter.cpp:342``); ``update``: merge scans into the
     per-particle maps (per-particle mode; ``:344``).
+
+    ``mesh``: shard the particle axis (particles + per-particle chain
+    rows) over a ``('dp',)`` mesh; map *blocks* stay replicated — the
+    deliberate layout for this workload: per-particle merges are
+    scatters indexed by sharded particles, which XLA completes with
+    collectives, while block replication keeps chain lookups local
+    (block-sharding would turn every COW chain lookup into a cross-ICI
+    gather; the pool is the small operand here, particles the large
+    one).  Tested equal to the single-device run on the virtual mesh.
     """
     if match is None:
         match = cfg.use_visual_update
@@ -101,6 +110,24 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
              else jnp.asarray(laser2body[0], jnp.float32))
     l_trans = (jnp.zeros(3, jnp.float32) if laser2body is None
                else jnp.asarray(laser2body[1], jnp.float32))
+
+    def constrain(st, pool):
+        if mesh is None:
+            return st, pool
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from slam_eslam_tpu.parallel import sharding as shd
+
+        st = dataclasses.replace(
+            st, particles=shd.constrain_particles(st.particles, mesh)
+        )
+        pool = dataclasses.replace(
+            pool,
+            chain=jax.lax.with_sharding_constraint(
+                pool.chain, NamedSharding(mesh, P("dp"))
+            ),
+        )
+        return st, pool
 
     def step(carry: StreamingState, frame):
         cs, q, body_pos, ranges, scan_meta, has_scan = frame
@@ -203,6 +230,7 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
             do_map, do_mapping, skip_mapping,
             (st, pool, carry.update_idx, carry.alloc_failed),
         )
+        st, pool = constrain(st, pool)
 
         c_pos, _ = pe.centroid(st.particles, q)
         out = StreamingState(
@@ -217,7 +245,7 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
 
 
 def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
-                          match=None, update=True):
+                          match=None, update=True, mesh=None):
     """Roll a whole frame stream through the fused SLAM step on device.
 
     ``run(carry, frames) -> (carry, aux)`` — ``frames`` is the per-frame
@@ -225,7 +253,7 @@ def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
     dispatch per trajectory; all gating happens on device.
     """
     step = make_slam_step(cfg, laser2body=laser2body, hash_=hash_,
-                          match=match, update=update)
+                          match=match, update=update, mesh=mesh)
 
     @jax.jit
     def run(carry: StreamingState, frames):
@@ -239,3 +267,54 @@ def stack_frames(frames):
     return jax.tree_util.tree_map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *frames
     )
+
+
+def frames_from_log(path):
+    """Recorded traverse (native log) -> the stacked frame pytree of
+    ``make_slam_step``, via the batched C gather path
+    (``io.logio.load_stream``): the whole log becomes a handful of
+    contiguous host buffers and then device arrays — no per-record
+    Python decode.  Requires pose records for the motion gates.
+
+    Returns ``(frames, ts [T])``.
+    """
+    import numpy as np
+
+    from slam_eslam_tpu.io import logio
+
+    s = logio.load_stream(path)
+    t = s["contact"].shape[0]
+    if s["pose"] is None:
+        raise ValueError(
+            "streaming replay needs pose records (the motion-gate input)"
+        )
+    if s["orientation"] is None:
+        raise ValueError("streaming replay needs orientation records")
+    contact = s["contact"]
+    # stacked [T, ...] leaves (lax.scan slices the leading axis)
+    cs = BodyContactState(
+        position=jnp.asarray(contact["position"], jnp.float32),
+        contact=jnp.asarray(contact["contact"], jnp.float32),
+        slip=jnp.asarray(contact["slip"], jnp.float32),
+        group_id=jnp.asarray(contact["group_id"], jnp.int32),
+        valid=jnp.ones(contact["contact"].shape, bool),
+    )
+    if s["scan_ranges"] is not None:
+        ranges = jnp.asarray(s["scan_ranges"])
+        start, res = s["scan_meta"]
+    else:  # no scans: feed empty rays, gate never fires
+        ranges = jnp.zeros((t, 1), jnp.float32)
+        start, res = 0.0, 1.0
+    meta = (
+        jnp.full((t,), start, jnp.float32),
+        jnp.full((t,), res, jnp.float32),
+    )
+    frames = (
+        cs,
+        jnp.asarray(s["orientation"]),
+        jnp.asarray(s["pose"][:, :3]),
+        ranges,
+        meta,
+        jnp.asarray(s["has_scan"]),
+    )
+    return frames, np.asarray(s["ts"])

@@ -67,6 +67,26 @@ def _load():
         ctypes.POINTER(ctypes.c_uint32),
     ]
     lib.eslam_feeder_destroy.argtypes = [ctypes.c_void_p]
+    lib.eslam_log_reader_count_type.restype = ctypes.c_int64
+    lib.eslam_log_reader_count_type.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32,
+    ]
+    lib.eslam_log_reader_select.restype = ctypes.c_int64
+    lib.eslam_log_reader_select.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64,
+    ]
+    lib.eslam_log_reader_gather.restype = ctypes.c_int
+    lib.eslam_log_reader_gather.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_uint32, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.eslam_log_compact.restype = ctypes.c_int64
+    lib.eslam_log_compact.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32, ctypes.c_int64,
+    ]
     return lib
 
 
@@ -208,6 +228,39 @@ class LogReader:
             raise IndexError(i)
         return t.value, ts.value, _payload_view(ptr, sz.value)
 
+    def count_type(self, rec_type):
+        return int(lib().eslam_log_reader_count_type(self._h, rec_type))
+
+    def select(self, rec_type):
+        """Indices + timestamps of all records of one type (native
+        scan; one call instead of a Python loop over the log)."""
+        cap = len(self)
+        idx = np.empty(cap, np.int64)
+        ts = np.empty(cap, np.uint64)
+        n = int(lib().eslam_log_reader_select(
+            self._h, rec_type,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            cap,
+        ))
+        return idx[:n], ts[:n]
+
+    def gather(self, idx, record_bytes):
+        """Native strided gather of fixed-size payloads: one contiguous
+        ``[n, record_bytes]`` uint8 buffer (single allocation, single
+        downstream device transfer — the zero-copy feed path)."""
+        idx = np.ascontiguousarray(idx, np.int64)
+        out = np.empty((idx.size, record_bytes), np.uint8)
+        rc = lib().eslam_log_reader_gather(
+            self._h,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            idx.size, record_bytes,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise ValueError("gather failed (bad record index)")
+        return out
+
     def close(self):
         if self._h:
             lib().eslam_log_reader_close(self._h)
@@ -218,6 +271,94 @@ class LogReader:
 
     def __exit__(self, *a):
         self.close()
+
+
+def compact(src, dst, types=(), stride=1):
+    """Rewrite a log keeping only ``types`` (empty = all) and every
+    ``stride``-th record per type.  Returns the record count written."""
+    arr = np.asarray(list(types), np.uint32)
+    n = int(lib().eslam_log_compact(
+        str(src).encode(), str(dst).encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        arr.size, stride,
+    ))
+    if n < 0:
+        raise OSError(f"compaction failed: {src} -> {dst}")
+    return n
+
+
+def load_stream(path):
+    """Batch-load a whole recorded traverse as stacked arrays — the
+    input shape of ``filter.streaming.make_slam_scan_runner``.
+
+    Uses the native select+gather entry points: the per-record work
+    (type filter, payload copy) happens in C; Python does exactly one
+    ``frombuffer``+reshape per record type.  Frame pairing follows the
+    recording convention (one contact + orientation [+ pose] per frame,
+    equal timestamps; scans attach to the closest preceding frame).
+
+    Returns a dict with ``contact`` (structured [T, C]), ``orientation``
+    [T, 4], ``pose`` [T, 7] or None, ``scan_ranges`` [T, R],
+    ``scan_meta`` (start, resolution), ``has_scan`` [T], ``ts`` [T].
+    """
+    with LogReader(path) as r:
+        cidx, cts = r.select(CONTACT_STATE)
+        if cidx.size == 0:
+            raise ValueError(f"no contact states in {path}")
+        # all contact records must share C (fixed-shape trajectory)
+        _, _, first = r.get(int(cidx[0]))
+        c = int(np.frombuffer(bytes(first[:4]), np.uint32)[0])
+        rec_bytes = 4 + c * _CONTACT_DT.itemsize
+        raw = r.gather(cidx, rec_bytes)
+        contact = np.frombuffer(
+            raw[:, 4:].tobytes(), _CONTACT_DT
+        ).reshape(cidx.size, c)
+
+        oidx, _ = r.select(ORIENTATION)
+        orientation = (
+            np.frombuffer(r.gather(oidx, 16).tobytes(), np.float32)
+            .reshape(-1, 4)
+            if oidx.size else None
+        )
+        pidx, _ = r.select(POSE)
+        pose = (
+            np.frombuffer(r.gather(pidx, 28).tobytes(), np.float32)
+            .reshape(-1, 7)
+            if pidx.size else None
+        )
+
+        sidx, sts = r.select(LASER_SCAN)
+        t = cidx.size
+        scan_ranges = None
+        scan_meta = None
+        has_scan = np.zeros((t,), bool)
+        if sidx.size:
+            _, _, sbuf = r.get(int(sidx[0]))
+            n_rays = int(np.frombuffer(bytes(sbuf[:4]), np.uint32)[0])
+            srec = 12 + 4 * n_rays
+            sraw = r.gather(sidx, srec)
+            meta = np.frombuffer(sraw[:, 4:12].tobytes(),
+                                 np.float32).reshape(-1, 2)
+            scan_meta = (float(meta[0, 0]), float(meta[0, 1]))
+            ranges = np.frombuffer(
+                sraw[:, 12:].tobytes(), np.float32
+            ).reshape(-1, n_rays)
+            scan_ranges = np.zeros((t, n_rays), np.float32)
+            # attach each scan to the closest preceding contact frame
+            fi = np.searchsorted(cts, sts, side="right") - 1
+            fi = np.clip(fi, 0, t - 1)
+            scan_ranges[fi] = ranges
+            has_scan[fi] = True
+
+    return {
+        "contact": contact,
+        "orientation": orientation,
+        "pose": pose,
+        "scan_ranges": scan_ranges,
+        "scan_meta": scan_meta,
+        "has_scan": has_scan,
+        "ts": cts,
+    }
 
 
 class AsyncFeeder:

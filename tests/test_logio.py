@@ -99,3 +99,70 @@ class TestAsyncFeeder:
         with logio.LogReader(log_path) as r:
             with logio.AsyncFeeder(r) as f:
                 assert list(f) == []
+
+
+class TestBatchedAccess:
+    """Native select/gather/compaction + the stacked-stream loader."""
+
+    def _write_traverse(self, path, frames=12, scan_every=4, n_rays=8):
+        with logio.LogWriter(path) as w:
+            for i in range(frames):
+                ts = 1000 + i * 10
+                w.write_contact_state(contact_state(i), timestamp_ns=ts)
+                w.write_orientation([1.0, 0, 0, float(i)], timestamp_ns=ts)
+                w.write_pose([float(i), 0, 0], [1, 0, 0, 0],
+                             timestamp_ns=ts)
+                if i % scan_every == scan_every - 1:
+                    w.write_scan(np.full(n_rays, 2.0 + i), -0.5, 0.1,
+                                 timestamp_ns=ts + 1)
+
+    def test_select_and_gather(self, log_path):
+        self._write_traverse(log_path)
+        with logio.LogReader(log_path) as r:
+            assert r.count_type(logio.CONTACT_STATE) == 12
+            idx, ts = r.select(logio.ORIENTATION)
+            assert idx.size == 12
+            np.testing.assert_array_equal(
+                ts, 1000 + 10 * np.arange(12)
+            )
+            raw = r.gather(idx, 16)
+            quats = np.frombuffer(raw.tobytes(), np.float32).reshape(-1, 4)
+            np.testing.assert_allclose(quats[:, 3], np.arange(12.0))
+
+    def test_compact_types_and_stride(self, log_path, tmp_path):
+        self._write_traverse(log_path)
+        dst = str(tmp_path / "compacted.eslg")
+        n = logio.compact(
+            log_path, dst,
+            types=(logio.CONTACT_STATE, logio.ORIENTATION), stride=2,
+        )
+        assert n == 12  # 6 contact + 6 orientation
+        with logio.LogReader(dst) as r:
+            assert r.count_type(logio.CONTACT_STATE) == 6
+            assert r.count_type(logio.ORIENTATION) == 6
+            assert r.count_type(logio.POSE) == 0
+            idx, _ = r.select(logio.CONTACT_STATE)
+            _, _, buf = r.get(int(idx[1]))
+            cs = logio.decode_contact_state(buf)
+            # every 2nd record kept: record 1 is original frame 2
+            np.testing.assert_allclose(
+                np.asarray(cs.position)[0, 0], 2.0
+            )
+
+    def test_load_stream(self, log_path):
+        self._write_traverse(log_path, frames=12, scan_every=4, n_rays=8)
+        s = logio.load_stream(log_path)
+        assert s["contact"].shape == (12, 4)
+        np.testing.assert_allclose(
+            s["contact"]["position"][3, 0, 0], 3.0
+        )
+        assert s["orientation"].shape == (12, 4)
+        np.testing.assert_allclose(s["orientation"][:, 3], np.arange(12.0))
+        assert s["pose"].shape == (12, 7)
+        # scans written at frames 3, 7, 11 attach to those frames
+        np.testing.assert_array_equal(
+            np.nonzero(s["has_scan"])[0], [3, 7, 11]
+        )
+        np.testing.assert_allclose(s["scan_ranges"][3], np.full(8, 5.0))
+        np.testing.assert_allclose(s["scan_ranges"][2], 0.0)
+        assert s["scan_meta"] == (pytest.approx(-0.5), pytest.approx(0.1))

@@ -122,6 +122,120 @@ class TestStreamingSlam:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_sharded_matches_single_device(self):
+        """Particles + chain rows sharded over the virtual mesh, blocks
+        replicated: results must equal the single-device run."""
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        from slam_eslam_tpu.parallel import sharding as shd
+
+        cfg = _cfg(n=64)
+        f = EmbodiedSlamFilter(config=cfg)
+        sim = AsguardSim(terrain=terrain)
+        f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+               use_shared_map=False)
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        frames = []
+
+        def cb(s):
+            frames.append((s.contact_state(), jnp.asarray(q),
+                           jnp.asarray(s.position, jnp.float32),
+                           jnp.full((N_RAYS,), 2.0, jnp.float32),
+                           SCAN_META, jnp.asarray(True)))
+
+        for _ in range(4):
+            sim.step(wheel_delta=0.3, on_substep=cb)
+        stacked = streaming.stack_frames(frames)
+
+        carry0 = streaming.StreamingState.create(f.state, f.pool)
+        run1 = streaming.make_slam_scan_runner(cfg)
+        c1, a1 = run1(carry0, stacked)
+
+        mesh = shd.make_mesh(8)
+        ps = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("dp")
+        )
+        fs = shd.shard_state(f.state, mesh)
+        pool_sh = dataclasses.replace(
+            f.pool, chain=jax.device_put(f.pool.chain, ps)
+        )
+        carry_sh = streaming.StreamingState.create(fs, pool_sh)
+        run8 = streaming.make_slam_scan_runner(cfg, mesh=mesh)
+        c2, a2 = run8(carry_sh, stacked)
+
+        np.testing.assert_allclose(
+            np.asarray(c1.filter.particles.weight),
+            np.asarray(c2.filter.particles.weight),
+            rtol=2e-4, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(c1.pool.mean), np.asarray(c2.pool.mean),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a1["centroid"]), np.asarray(a2["centroid"]),
+            atol=1e-5,
+        )
+
+    def test_frames_from_log_roundtrip(self, tmp_path):
+        """Record a traverse through the native log runtime, then feed
+        the whole log into the device-resident runner via the batched
+        C gather path — results must equal the in-memory frame stream."""
+        from slam_eslam_tpu.io import logio
+
+        cfg = _cfg(n=16)
+        f = EmbodiedSlamFilter(config=cfg)
+        sim = AsguardSim(terrain=terrain)
+        f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+               use_shared_map=False)
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        path = str(tmp_path / "traverse.eslg")
+        frames = []
+
+        with logio.LogWriter(path) as w:
+            step_i = [0]
+
+            def cb(s):
+                ts = 1000 + step_i[0] * 10
+                step_i[0] += 1
+                cs = s.contact_state()
+                has_scan = step_i[0] % 5 == 0
+                w.write_contact_state(cs, timestamp_ns=ts)
+                w.write_orientation(q, timestamp_ns=ts)
+                w.write_pose(s.position, q, timestamp_ns=ts)
+                if has_scan:
+                    w.write_scan(np.full(N_RAYS, 2.0), float(SCAN_META[0]),
+                                 float(SCAN_META[1]), timestamp_ns=ts)
+                frames.append((cs, jnp.asarray(q),
+                               jnp.asarray(s.position, jnp.float32),
+                               jnp.full((N_RAYS,), 2.0, jnp.float32),
+                               SCAN_META, jnp.asarray(has_scan)))
+
+            for _ in range(3):
+                sim.step(wheel_delta=0.3, on_substep=cb)
+
+        log_frames, ts = streaming.frames_from_log(path)
+        assert ts.shape == (len(frames),)
+
+        carry0 = streaming.StreamingState.create(f.state, f.pool)
+        run = streaming.make_slam_scan_runner(cfg)
+        c_mem, a_mem = run(carry0, streaming.stack_frames(frames))
+        c_log, a_log = run(carry0, log_frames)
+        np.testing.assert_array_equal(
+            np.asarray(a_mem["mapped"]), np.asarray(a_log["mapped"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_mem.filter.particles.weight),
+            np.asarray(c_log.filter.particles.weight),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_mem["centroid"]), np.asarray(a_log["centroid"]),
+            atol=1e-6,
+        )
+
     def test_single_dispatch(self):
         """The whole trajectory must run as one compiled call (the
         device-bound benchmark shape)."""
