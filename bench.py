@@ -41,6 +41,18 @@ def main():
         "slam: full EmbodiedSlamFilter loop with per-particle maps, "
         "laser merges and surface-hash reinjection",
     )
+    ap.add_argument(
+        "--min-effective", type=int, default=-1, dest="min_effective",
+        help="ESS resampling threshold (default: particles/5; 0 "
+        "disables resampling — for stage attribution)",
+    )
+    ap.add_argument(
+        "--ablate", choices=["none", "noupdate", "nolookup"],
+        default="none",
+        help="stage ablation for marginal-cost attribution: "
+        "'noupdate' = project+centroid only; 'nolookup' = full update "
+        "math with a constant fake lookup (no map gather)",
+    )
     args = ap.parse_args()
 
     if args.mode == "slam":
@@ -64,7 +76,8 @@ def main():
     cfg = dataclasses.replace(
         Config(),
         particle_count=n,
-        min_effective=n // 5,
+        min_effective=(n // 5 if args.min_effective < 0
+                       else args.min_effective),
         contact_model=ContactModelConfig(contact_point_radius=0.0),
     )
 
@@ -108,7 +121,39 @@ def main():
     )
     orientations = jnp.asarray(np.stack(qs), jnp.float32)
 
-    run = steplib.make_scan_runner(cfg, lookup)
+    if args.ablate == "nolookup":
+        # constant fake map: update math runs, the gather doesn't
+        def lookup(map_id, pts):  # noqa: F811
+            shape = pts.shape[:-1]
+            return (jnp.ones(shape, bool), jnp.zeros(shape, jnp.float32),
+                    jnp.full(shape, 0.1, jnp.float32),
+                    jnp.zeros(shape + (3,), jnp.float32))
+
+        lookup.batched = True
+
+    if args.ablate == "noupdate":
+        # project + centroid only (no measurement update at all)
+        from slam_eslam_tpu.filter.step import cfg_odo
+        from slam_eslam_tpu.models import odometry as odom_lib
+
+        def one_step(state, inp):
+            cs, q = inp
+            state = dataclasses.replace(
+                state,
+                odometry=odom_lib.update(state.odometry, cs, q,
+                                         cfg_odo(cfg)),
+            )
+            state = pe.project(state, q, cfg)
+            c_pos, _ = pe.centroid(state.particles, q)
+            return state, c_pos
+
+        @jax.jit
+        def run(state, contact_states, orientations):
+            return jax.lax.scan(
+                one_step, state, (contact_states, orientations)
+            )
+    else:
+        run = steplib.make_scan_runner(cfg, lookup)
 
     # compile + warm up
     t0 = time.time()

@@ -118,3 +118,49 @@ def take(particles, idx):
     """Gather a particle pytree by index — the SoA analogue of copying
     ``Particle`` structs during resampling (``ParticleFilter.hpp:104``)."""
     return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), particles)
+
+
+def take_packed(particles, idx):
+    """``take`` specialised for ``ParticleSet``: pack the 10 per-particle
+    lanes into one ``[N, 10]`` int32 matrix (float fields bitcast — the
+    round trip is exact for every value incl. NaN/inf), do ONE
+    row-contiguous gather, unpack.
+
+    Why: TPU gathers pay per gathered element; ten separate ``[N]``
+    gathers cost ~10x one ``[N, 10]`` row gather (rows are contiguous
+    lanes).  Resampling indices are non-decreasing (stratified /
+    systematic), which the gather is annotated with.
+    """
+    from slam_eslam_tpu.core.state import ParticleSet
+
+    p = particles
+    as_bits = lambda a: jax.lax.bitcast_convert_type(
+        a.astype(jnp.float32), jnp.int32
+    )
+    packed = jnp.concatenate(
+        [
+            as_bits(p.xy),
+            as_bits(p.yaw)[:, None],
+            as_bits(p.z)[:, None],
+            as_bits(p.z_sigma)[:, None],
+            as_bits(p.weight)[:, None],
+            as_bits(p.mprob)[:, None],
+            p.floating.astype(jnp.int32)[:, None],
+            p.n_contacts.astype(jnp.int32)[:, None],
+            p.map_id.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )                                                   # [N, 10] int32
+    g = jnp.take(packed, idx, axis=0, indices_are_sorted=True)
+    as_f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    return ParticleSet(
+        xy=as_f32(g[:, :2]),
+        yaw=as_f32(g[:, 2]),
+        z=as_f32(g[:, 3]),
+        z_sigma=as_f32(g[:, 4]),
+        weight=as_f32(g[:, 5]),
+        mprob=as_f32(g[:, 6]),
+        floating=g[:, 7] != 0,
+        n_contacts=g[:, 8],
+        map_id=g[:, 9],
+    )

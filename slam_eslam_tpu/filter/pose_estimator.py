@@ -290,7 +290,9 @@ def update(
         if resampler is not None:
             return resampler(k_rs, weight, p_norm)
         idx = pf.resample_stratified(k_rs, weight, p.n)
-        return pf.take(p_norm, idx), idx
+        # packed single-gather copy (10 [N] gathers -> one [N,10] row
+        # gather; exact — see core.filter.take_packed)
+        return pf.take_packed(p_norm, idx), idx
 
     def skip(p_norm):
         return p_norm, jnp.arange(p.n, dtype=jnp.int32)

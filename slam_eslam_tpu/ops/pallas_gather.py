@@ -169,8 +169,8 @@ def windowed_get_patch(packed, points, z_window=3.0, window=64,
     )
 
 
-def _fused_select_kernel(lx_ref, ly_ref, z_ref, table_ref, out_ref, *, w,
-                         k, z_window, mxu_dtype, stage1, stage2):
+def _fused_select_kernel(lx_ref, ly_ref, z_ref, table_ref, out_ref, *, wx,
+                         wy, k, z_window, mxu_dtype, stage1, stage2):
     """One tile of the fused lookup+z-select kernel.
 
     Gathers ``cell = table[lx, ly, :]`` (2K channels: K means then K
@@ -193,7 +193,7 @@ def _fused_select_kernel(lx_ref, ly_ref, z_ref, table_ref, out_ref, *, w,
     lx = lx_ref[...]                       # [T, 1] int32
     ly = ly_ref[...]                       # [T, 1]
     t = lx.shape[0]
-    wc = w * c
+    wc = wy * c
 
     if stage1 == "dg":
         # table padded to [T, W*C]; one batched sublane gather
@@ -202,8 +202,8 @@ def _fused_select_kernel(lx_ref, ly_ref, z_ref, table_ref, out_ref, *, w,
             table_ref[...], idx, axis=0, mode="promise_in_bounds"
         )
     else:
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
-        oh_x = (lx == iota_w).astype(mxu_dtype)            # [T, W]
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, wx), 1)
+        oh_x = (lx == iota_w).astype(mxu_dtype)            # [T, WX]
         rows = jnp.dot(
             oh_x, table_ref[...].astype(mxu_dtype),
             preferred_element_type=jnp.float32,
@@ -265,12 +265,16 @@ def window_select(table, lx, ly, z, *, z_window=3.0, tile=512,
                   stage1="onehot", stage2="matmul"):
     """Fused gather + z-window slot select.
 
-    ``table [W, W, 2K]`` (means ‖ stdevs, stdev<0 = empty slot),
-    ``lx, ly`` int32 ``[Q]`` pre-clamped to ``[0, W)``, ``z`` float32
-    ``[Q]``.  Returns ``(found [Q] bool, mean [Q], stdev [Q])``.
+    ``table [WX, WY, 2K]`` (means ‖ stdevs, stdev<0 = empty slot),
+    ``lx, ly`` int32 ``[Q]`` pre-clamped to ``[0, WX/WY)``, ``z``
+    float32 ``[Q]``.  Returns ``(found [Q] bool, mean [Q], stdev [Q])``.
+
+    Rectangular windows trade MXU/VPU work for coverage shape: the
+    one-hot K dim pads to 128 regardless, so ``WX=128, WY=32`` costs
+    about HALF of ``64x64`` at identical area (selector matmul N and
+    the mask width scale with ``WY*2K``).
     """
-    w, w2, c = table.shape
-    assert w == w2, "square windows only"
+    wx, wy, c = table.shape
     k = c // 2
     q = lx.shape[0]
     qp = ((q + tile - 1) // tile) * tile
@@ -278,15 +282,15 @@ def window_select(table, lx, ly, z, *, z_window=3.0, tile=512,
     lxp = jnp.pad(lx, (0, pad))[:, None]
     lyp = jnp.pad(ly, (0, pad))[:, None]
     zp = jnp.pad(z, (0, pad))[:, None].astype(jnp.float32)
-    table2 = table.reshape(w, w * c)
-    rows = w
+    table2 = table.reshape(wx, wy * c)
+    rows = wx
     if stage1 == "dg":
-        rows = max(tile, w)
-        table2 = jnp.pad(table2, ((0, rows - w), (0, 0)))
+        rows = max(tile, wx)
+        table2 = jnp.pad(table2, ((0, rows - wx), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(
-            _fused_select_kernel, w=w, k=k, z_window=z_window,
+            _fused_select_kernel, wx=wx, wy=wy, k=k, z_window=z_window,
             mxu_dtype=mxu_dtype, stage1=stage1, stage2=stage2,
         ),
         grid=(qp // tile,),
@@ -297,7 +301,7 @@ def window_select(table, lx, ly, z, *, z_window=3.0, tile=512,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, w * c), lambda i: (0, 0),
+            pl.BlockSpec((rows, wy * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
@@ -312,9 +316,22 @@ def window_select(table, lx, ly, z, *, z_window=3.0, tile=512,
 def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
                              tile=512, interpret=False,
                              mxu_dtype=jnp.bfloat16,
-                             stage1="onehot", stage2="matmul"):
+                             stage1="onehot", stage2="matmul",
+                             center_subsample=0):
     """``windowed_get_patch`` with the z-window slot selection fused into
-    the kernel (see ``_fused_select_kernel``)."""
+    the kernel (see ``_fused_select_kernel``).
+
+    ``window``: int (square) or ``(wx, wy)``.  Measured on v5e: the
+    64x64 default and 128x64 run at the same speed (the one-hot K dim
+    pads to 128 regardless, so 128x64 gives 2x coverage area for free);
+    128x32 is ~25% slower despite halving the selector-matmul passes —
+    the kernel is not MXU-pass-bound.  ``center_subsample``: when > 0,
+    centre the window on the mean of the first ``s`` queries instead of
+    all Q (a contiguous prefix: strided slices lower to expensive
+    gathers on TPU; measured no win from either on v5e, kept for
+    latency-sensitive small-window configs).
+    """
+    wx, wy = ((window, window) if isinstance(window, int) else window)
     nx, ny = packed.data.shape[0], packed.data.shape[1]
     flat = points.reshape(-1, 3)
     rel = (flat[:, :2] - packed.origin) / packed.resolution
@@ -322,23 +339,26 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
     iy = jnp.floor(rel[:, 1]).astype(jnp.int32)
     inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
 
+    cix, ciy = (ix, iy) if center_subsample <= 1 else (
+        ix[:center_subsample], iy[:center_subsample]
+    )
     cx = jnp.clip(
-        jnp.mean(jnp.clip(ix, 0, nx - 1)).astype(jnp.int32) - window // 2,
-        0, max(nx - window, 0),
+        jnp.mean(jnp.clip(cix, 0, nx - 1)).astype(jnp.int32) - wx // 2,
+        0, max(nx - wx, 0),
     )
     cy = jnp.clip(
-        jnp.mean(jnp.clip(iy, 0, ny - 1)).astype(jnp.int32) - window // 2,
-        0, max(ny - window, 0),
+        jnp.mean(jnp.clip(ciy, 0, ny - 1)).astype(jnp.int32) - wy // 2,
+        0, max(ny - wy, 0),
     )
     table = jax.lax.dynamic_slice(
-        packed.data, (cx, cy, 0), (window, window, 2 * packed.k)
+        packed.data, (cx, cy, 0), (wx, wy, 2 * packed.k)
     )
 
     lx = ix - cx
     ly = iy - cy
-    inw = inb & (lx >= 0) & (lx < window) & (ly >= 0) & (ly < window)
-    lxc = jnp.clip(lx, 0, window - 1)
-    lyc = jnp.clip(ly, 0, window - 1)
+    inw = inb & (lx >= 0) & (lx < wx) & (ly >= 0) & (ly < wy)
+    lxc = jnp.clip(lx, 0, wx - 1)
+    lyc = jnp.clip(ly, 0, wy - 1)
 
     found, mean, stdev = window_select(
         table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,

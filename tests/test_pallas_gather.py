@@ -93,6 +93,56 @@ class TestFusedSelect:
             np.asarray(out[2])[f], np.asarray(ref[2])[f], rtol=1e-6
         )
 
+    @pytest.mark.parametrize("window", [(128, 32), (128, 64), (32, 128)])
+    def test_rectangular_windows(self, packed, window):
+        """Rectangular windows (cheaper at equal area: the one-hot K dim
+        pads to 128 regardless) must match the packed lookup for
+        queries inside the window."""
+        key = jax.random.PRNGKey(7)
+        pts = jnp.concatenate(
+            [
+                jax.random.uniform(key, (300, 2), minval=-0.7,
+                                   maxval=0.7),
+                jax.random.uniform(
+                    jax.random.PRNGKey(8), (300, 1), minval=-0.6,
+                    maxval=0.6,
+                ),
+            ],
+            axis=1,
+        )
+        ref = mls_grid.get_patch_packed(packed, pts, 3.0)
+        out = pg.windowed_get_patch_fused(
+            packed, pts, 3.0, window=window, interpret=True,
+            mxu_dtype=jnp.float32,
+        )
+        f = np.asarray(ref[0])
+        np.testing.assert_array_equal(np.asarray(out[0]), f)
+        np.testing.assert_allclose(
+            np.asarray(out[1])[f], np.asarray(ref[1])[f], rtol=1e-6
+        )
+
+    def test_center_subsample(self, packed):
+        """Subsampled window centring must not change results for a
+        compact cloud (the centring error is << window half-size)."""
+        pts = jnp.concatenate(
+            [
+                jax.random.uniform(jax.random.PRNGKey(9), (500, 2),
+                                   minval=-0.5, maxval=0.5),
+                jnp.zeros((500, 1)),
+            ],
+            axis=1,
+        )
+        a = pg.windowed_get_patch_fused(
+            packed, pts, 3.0, window=64, interpret=True,
+            mxu_dtype=jnp.float32,
+        )
+        b = pg.windowed_get_patch_fused(
+            packed, pts, 3.0, window=64, interpret=True,
+            mxu_dtype=jnp.float32, center_subsample=31,
+        )
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]))
+
     def test_multi_slot_z_window_selection(self):
         """Cells with several patches must resolve to the |mean-z|-argmin
         slot within the z-window, like get_patch/get_patch_packed."""

@@ -236,6 +236,71 @@ class TestStreamingSlam:
             atol=1e-6,
         )
 
+    def test_hash_reinjection_in_stream(self):
+        """The hash-reinjection lax.cond must fire every `period`
+        projections inside the fused loop and actually replace
+        low-weight particles (different trajectory from no-hash)."""
+        from slam_eslam_tpu.config import SurfaceHashConfig
+        from slam_eslam_tpu.filter.surface_hash import SurfaceHash
+        from slam_eslam_tpu.models import sim as simlib
+
+        cfg = _cfg(n=32)
+        hcfg = SurfaceHashConfig(
+            use_hash=True, slope_bins=8, angular_steps=4, period=3,
+            percentage=0.5, avg_factor=0.1,
+        )
+        grid = simlib.terrain_grid(
+            terrain, nx=32, ny=32, resolution=0.3, origin=(-4.8, -4.8)
+        )
+        h = SurfaceHash.create(hcfg, grid)
+
+        f = EmbodiedSlamFilter(config=cfg)
+        sim = AsguardSim(terrain=terrain)
+        f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+               use_shared_map=False)
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        frames = []
+
+        def cb(s):
+            frames.append((s.contact_state(), jnp.asarray(q),
+                           jnp.asarray(s.position, jnp.float32),
+                           jnp.full((N_RAYS,), 2.0, jnp.float32),
+                           SCAN_META, jnp.asarray(False)))
+
+        for _ in range(2):
+            sim.step(wheel_delta=0.3, on_substep=cb)
+        stacked = streaming.stack_frames(frames)
+
+        carry0 = streaming.StreamingState.create(f.state, f.pool)
+        run_plain = streaming.make_slam_scan_runner(cfg)
+        run_hash = streaming.make_slam_scan_runner(cfg, hash_=h)
+        c_plain, _ = run_plain(carry0, stacked)
+        c_hash, _ = run_hash(carry0, stacked)
+        w_plain = np.asarray(c_plain.filter.particles.xy)
+        w_hash = np.asarray(c_hash.filter.particles.xy)
+        assert np.isfinite(w_hash).all()
+        assert not np.allclose(w_plain, w_hash)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        """StreamingState (filter + pool + gate anchors) must survive an
+        Orbax save/restore — checkpoint/resume for the full SLAM loop."""
+        from slam_eslam_tpu.utils import checkpoint as ckpt
+
+        cfg = _cfg(n=16)
+        f = EmbodiedSlamFilter(config=cfg)
+        sim = AsguardSim(terrain=terrain)
+        f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+               use_shared_map=False)
+        carry = streaming.StreamingState.create(f.state, f.pool)
+        path = str(tmp_path / "stream_ckpt")
+        ckpt.save_state(path, carry)
+        restored = ckpt.restore_state(path, carry)
+        eq = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+            carry, restored,
+        ))
+        assert eq
+
     def test_single_dispatch(self):
         """The whole trajectory must run as one compiled call (the
         device-bound benchmark shape)."""

@@ -133,32 +133,33 @@ def main():
                 f"speedup x{t_gather / t_window:.2f}"
             )
 
-    # fused z-select kernel variant sweep (stage1 x stage2 x tile)
+    # fused z-select kernel variant sweep (stage1 x stage2 x window x tile)
     variants = [
-        ("onehot", "matmul", 512),
-        ("onehot", "matmul", 1024),
-        ("onehot", "fold", 512),
-        ("onehot", "dg", 512),
-        ("dg", "matmul", 512),
-        ("dg", "dg", 512),
-        ("dg", "dg", 1024),
+        ("onehot", "matmul", 64, 256),
+        ("onehot", "matmul", 64, 512),
+        ("onehot", "matmul", 64, 1024),
+        ("onehot", "matmul", 32, 512),
+        ("onehot", "fold", 64, 512),
+        ("onehot", "dg", 64, 512),
+        ("dg", "matmul", 64, 512),
+        ("dg", "dg", 64, 512),
     ]
-    for s1, s2, tile in variants:
-        label = f"fused/{s1}+{s2}/t{tile}"
+    for s1, s2, w, tile in variants:
+        label = f"fused/{s1}+{s2}/w{w}/t{tile}"
         try:
             t_f = timeit_chained(
-                lambda p, s1=s1, s2=s2, tile=tile:
+                lambda p, s1=s1, s2=s2, w=w, tile=tile:
                     pg.windowed_get_patch_fused(
-                        packed, p, window=64, tile=tile,
+                        packed, p, window=w, tile=tile,
                         stage1=s1, stage2=s2,
                     )[1],
                 pts,
             )
         except Exception as e:  # Mosaic lowering may reject dg paths
-            print(f"{label:22s}: FAILED ({type(e).__name__}: "
+            print(f"{label:26s}: FAILED ({type(e).__name__}: "
                   f"{str(e).splitlines()[0][:90]})")
             continue
-        print(f"{label:22s}: {t_f * 1e3:8.2f} ms  "
+        print(f"{label:26s}: {t_f * 1e3:8.2f} ms  "
               f"({q / t_f / 1e6:7.1f} Mq/s)  "
               f"SoL(bw)={t_ideal_bw / t_f:.3f}  "
               f"speedup x{t_gather / t_f:.2f}")
