@@ -446,6 +446,56 @@ class EmbodiedSlamFilter:
         self.stereo_pose = pose
         return True
 
+    def run_stream(self, frames, laser2body=None, mesh=None):
+        """Device-resident execution of a whole frame stream
+        (``filter.streaming``): every per-frame update this class would
+        dispatch individually runs inside ONE ``lax.scan`` dispatch —
+        the deployment/benchmark shape on remote/tunneled accelerators.
+
+        ``frames``: stacked pytree from ``streaming.stack_frames`` or
+        ``streaming.frames_from_log``.  Requires per-particle-map mode.
+        Consumes and updates this filter's state (incl. motion-gate
+        anchors and ``update_idx``).  Returns the per-frame ``aux``
+        (centroids, gate booleans).
+        """
+        from slam_eslam_tpu.filter import streaming
+
+        if self.use_shared_map:
+            raise ValueError(
+                "run_stream requires per-particle-map mode "
+                "(use_shared_map=False); shared-map tracking streams "
+                "via filter.step.make_scan_runner"
+            )
+        key = ("stream", id(mesh), laser2body is None)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = streaming.make_slam_scan_runner(
+                self.config, laser2body=laser2body, hash_=self.hash,
+                mesh=mesh,
+            )
+        carry = streaming.StreamingState.create(self.state, self.pool)
+        # resume the motion-gate anchors from the host-side state
+        carry = dataclasses.replace(
+            carry,
+            ud_pos=jnp.asarray(self.ud_pose[:3, 3], jnp.float32),
+            ud_q=geometry.quat_from_matrix(
+                jnp.asarray(self.ud_pose[:3, :3], jnp.float32)
+            ),
+            map_pos=jnp.asarray(self.map_pose[:3, 3], jnp.float32),
+            map_q=geometry.quat_from_matrix(
+                jnp.asarray(self.map_pose[:3, :3], jnp.float32)
+            ),
+            update_idx=jnp.asarray(self.update_idx, jnp.int32),
+        )
+        carry, aux = self._jit_cache[key](carry, frames)
+        self.state = carry.filter
+        self.pool = carry.pool
+        self.update_idx = int(carry.update_idx)
+        self.ud_pose = _affine(np.asarray(carry.ud_q),
+                               np.asarray(carry.ud_pos))
+        self.map_pose = _affine(np.asarray(carry.map_q),
+                                np.asarray(carry.map_pos))
+        return aux
+
     def update_featurecloud(self, *_args, **_kw):
         """Stereo feature clouds are unsupported, as in the reference
         (stub returning false, ``EmbodiedSlamFilter.cpp:234-237``)."""

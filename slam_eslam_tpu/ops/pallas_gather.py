@@ -380,13 +380,21 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
 
 def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=512,
                          interpret=False, mxu_dtype=jnp.bfloat16,
-                         fused=True, stage1="onehot", stage2="matmul"):
+                         fused=True, stage1="onehot", stage2="matmul",
+                         mesh=None):
     """Lookup factory for the pose estimator (shared-map mode) using the
     Pallas window kernel.  ``map_id`` is ignored.
 
     ``fused=True`` (default) runs the z-window slot selection inside the
     kernel (``windowed_get_patch_fused``); ``fused=False`` keeps the raw
     ``[Q, 2K]`` gather + XLA-side selection.
+
+    ``mesh``: on a multi-chip mesh the kernel must run shard-locally
+    (XLA cannot auto-partition a Mosaic custom call) — pass the
+    ``('dp',)`` mesh and the lookup wraps itself in ``shard_map``: each
+    shard centres a window on *its own* particle shard's cloud and
+    gathers locally; no communication (the map is replicated, the
+    query batch stays sharded).
 
     NOTE: unlike the full-grid gather, lookups farther than
     ``window * resolution / 2`` from the query-cloud centroid miss; use
@@ -398,8 +406,7 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=512,
     if not isinstance(packed, mls_grid.PackedLookup):
         packed = mls_grid.PackedLookup.from_grid(packed)
 
-    def lookup(map_id, points):
-        del map_id
+    def one_device(points):
         if fused:
             return windowed_get_patch_fused(
                 packed, points, z_window, window=window, tile=tile,
@@ -410,6 +417,25 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=512,
             packed, points, z_window, window=window, tile=tile,
             interpret=interpret, mxu_dtype=mxu_dtype,
         )
+
+    def lookup(map_id, points):
+        del map_id
+        if mesh is None:
+            return one_device(points)
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = (jax.shard_map if hasattr(jax, "shard_map")
+                     else __import__(
+                         "jax.experimental.shard_map", fromlist=["shard_map"]
+                     ).shard_map)
+        return shard_map(
+            one_device,
+            mesh=mesh,
+            in_specs=P("dp"),
+            out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
+        )(points)
 
     # consumes the whole [N, C, 3] batch (window shared across particles)
     lookup.batched = True

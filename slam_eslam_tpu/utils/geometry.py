@@ -82,6 +82,38 @@ def quat_to_matrix(q):
     return r.reshape(q.shape[:-1] + (3, 3))
 
 
+def quat_from_matrix(r):
+    """[3, 3] rotation matrix -> [4] unit quaternion (w, x, y, z).
+
+    Branch-free variant of Shepperd's method: compute all four
+    candidate constructions and select the best-conditioned one by
+    mask (jit-friendly; no data-dependent control flow).
+    """
+    r = jnp.asarray(r)
+    m00, m11, m22 = r[0, 0], r[1, 1], r[2, 2]
+    tr = m00 + m11 + m22
+    # four squared-magnitude candidates (4q_i^2 - 1 + trace terms)
+    qw2 = 1.0 + tr
+    qx2 = 1.0 + m00 - m11 - m22
+    qy2 = 1.0 - m00 + m11 - m22
+    qz2 = 1.0 - m00 - m11 + m22
+    cands = jnp.stack([
+        jnp.stack([qw2, r[2, 1] - r[1, 2], r[0, 2] - r[2, 0],
+                   r[1, 0] - r[0, 1]]),
+        jnp.stack([r[2, 1] - r[1, 2], qx2, r[1, 0] + r[0, 1],
+                   r[0, 2] + r[2, 0]]),
+        jnp.stack([r[0, 2] - r[2, 0], r[1, 0] + r[0, 1], qy2,
+                   r[2, 1] + r[1, 2]]),
+        jnp.stack([r[1, 0] - r[0, 1], r[0, 2] + r[2, 0],
+                   r[2, 1] + r[1, 2], qz2]),
+    ])                                                   # [4, 4]
+    mags = jnp.stack([qw2, qx2, qy2, qz2])
+    best = jnp.argmax(mags)
+    q = cands[best] / (2.0 * jnp.sqrt(jnp.maximum(mags[best], 1e-12)))
+    # canonical sign: w >= 0
+    return jnp.where(q[0] < 0, -q, q)
+
+
 def yaw_from_quat(q):
     """Heading (rotation about +Z) of the quaternion.
 

@@ -167,6 +167,42 @@ class TestPpermuteResample:
 
 
 class TestShardedFilterStep:
+    def test_windowed_lookup_shard_map(self, mesh):
+        """The Pallas window lookup must run shard-locally on a mesh
+        (each shard windows its own query cloud) and match the
+        replicated result."""
+        import numpy as _np
+
+        from slam_eslam_tpu.mapping import mls_grid
+        from slam_eslam_tpu.models import sim as simlib
+        from slam_eslam_tpu.ops import pallas_gather as pg
+
+        terrain = lambda x, y: 0.25 * _np.sin(1.3 * _np.asarray(x))
+        grid = simlib.terrain_grid(
+            terrain, nx=64, ny=64, resolution=0.1, origin=(-3.2, -3.2)
+        )
+        lk_single = pg.windowed_grid_lookup(grid, window=32,
+                                            interpret=True)
+        lk_mesh = pg.windowed_grid_lookup(grid, window=32,
+                                          interpret=True, mesh=mesh)
+        pts = jnp.concatenate(
+            [
+                jax.random.uniform(jax.random.PRNGKey(0), (64, 4, 2),
+                                   minval=-0.8, maxval=0.8),
+                jnp.zeros((64, 4, 1)),
+            ],
+            axis=-1,
+        )
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("dp")
+        )
+        a = lk_single(None, pts)
+        b = jax.jit(lambda p: lk_mesh(None, p))(jax.device_put(pts, sh))
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_allclose(
+            np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6
+        )
+
     def test_full_step_on_mesh(self, mesh):
         # the dryrun path: full filter step sharded dp over 8 devices
         import __graft_entry__ as g

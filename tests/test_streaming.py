@@ -236,6 +236,46 @@ class TestStreamingSlam:
             atol=1e-6,
         )
 
+    def test_run_stream_api(self):
+        """EmbodiedSlamFilter.run_stream: the class-level entry point to
+        the fused loop must match driving the class frame by frame."""
+        cfg = _cfg()
+        f_host, frames, stats, lb = _drive_host(cfg, steps=4)
+
+        f2 = EmbodiedSlamFilter(config=cfg)
+        sim2 = AsguardSim(terrain=terrain)
+        f2.init(pose=(np.array([0.0, 0.0, sim2.position[2]]), 0.0),
+                use_shared_map=False)
+        aux = f2.run_stream(
+            streaming.stack_frames([tuple(fr) for fr in frames]),
+            laser2body=lb,
+        )
+        assert int(np.asarray(aux["updated"]).sum()) == stats["updated"]
+        assert int(np.asarray(aux["mapped"]).sum()) == stats["mapped"]
+        assert f2.update_idx == f_host.update_idx
+        np.testing.assert_allclose(
+            np.asarray(f2.state.particles.weight),
+            np.asarray(f_host.state.particles.weight),
+            rtol=1e-5, atol=1e-8,
+        )
+        # gate anchors resumed: a second stream continues seamlessly
+        np.testing.assert_allclose(
+            f2.ud_pose[:3, 3], f_host.ud_pose[:3, 3], atol=1e-6
+        )
+
+    def test_quat_from_matrix_roundtrip(self):
+        from slam_eslam_tpu.utils import geometry
+
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            q = rng.normal(size=4)
+            q = q / np.linalg.norm(q)
+            if q[0] < 0:
+                q = -q
+            m = geometry.quat_to_matrix(jnp.asarray(q, jnp.float32))
+            q2 = np.asarray(geometry.quat_from_matrix(m))
+            np.testing.assert_allclose(q2, q, atol=1e-5)
+
     def test_hash_reinjection_in_stream(self):
         """The hash-reinjection lax.cond must fire every `period`
         projections inside the fused loop and actually replace
