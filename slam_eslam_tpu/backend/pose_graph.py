@@ -117,6 +117,27 @@ def edge_residuals(graph: PoseGraph, edge_sl=slice(None)):
     return r, ji, jj
 
 
+def robust_edge_weights(graph: PoseGraph, kind="huber", delta=1.0):
+    """Per-edge robust reweighting factors (iteratively-reweighted GN).
+
+    ``kind='huber'``: w = min(1, delta / sqrt(chi2_e)) — linear tail.
+    ``kind='dcs'``: Dynamic Covariance Scaling, w = min(1,
+    (2*delta / (delta + chi2_e))^2) — saturates spurious closures to
+    ~zero influence instead of a linear tail (Agarwal et al. 2013).
+    Applied by both solvers when ``robust=`` is set: each GN iteration
+    rescales the edge information matrices by these factors.
+    """
+    r, _, _ = edge_residuals(graph)
+    chi2_e = jnp.einsum("ei,eij,ej->e", r, graph.edge_info, r)
+    if kind == "huber":
+        w = jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(chi2_e, 1e-12)))
+    elif kind == "dcs":
+        w = jnp.minimum(1.0, (2.0 * delta / (delta + chi2_e)) ** 2)
+    else:
+        raise ValueError(f"unknown robust kernel {kind!r}")
+    return jnp.where(graph.edge_valid, w, 1.0)
+
+
 def _apply_delta(graph: PoseGraph, delta, fix_mask):
     d = graph.dim
     free = graph.node_valid
@@ -141,12 +162,24 @@ def _pin_diag(graph: PoseGraph, fix_first, fix_mask):
     return diag_pin
 
 
+def _robustified(graph: PoseGraph, robust, delta):
+    if robust is None:
+        return graph
+    w = robust_edge_weights(graph, robust, delta)
+    return dataclasses.replace(
+        graph, edge_info=graph.edge_info * w[:, None, None]
+    )
+
+
 def gauss_newton_step(graph: PoseGraph, damping=1e-6, fix_first=True,
-                      fix_mask=None):
+                      fix_mask=None, robust=None, robust_delta=1.0):
     """One dense GN step (MXU Cholesky over the [D*M, D*M] normal
     matrix).  ``fix_mask [M]`` freezes nodes (incremental re-solves
-    touch only the affected suffix of the trajectory).  Returns
-    ``(graph', chi2_before)``."""
+    touch only the affected suffix of the trajectory).  ``robust``:
+    'huber' / 'dcs' iteratively-reweighted edge information (outlier
+    closures lose influence).  Returns ``(graph', chi2_before)``."""
+    out_graph = graph
+    graph = _robustified(graph, robust, robust_delta)
     m = graph.nodes.shape[0]
     d = graph.dim
     r, ji, jj = edge_residuals(graph)
@@ -183,15 +216,19 @@ def gauss_newton_step(graph: PoseGraph, damping=1e-6, fix_first=True,
     hd = hd + jnp.diag(pin + damping)
 
     delta = jax.scipy.linalg.solve(hd, -bd, assume_a="pos")
-    return _apply_delta(graph, delta.reshape(m, d), fix_mask), chi2
+    return _apply_delta(out_graph, delta.reshape(m, d), fix_mask), chi2
 
 
-def optimize(graph: PoseGraph, iters=10, damping=1e-6, fix_mask=None):
+def optimize(graph: PoseGraph, iters=10, damping=1e-6, fix_mask=None,
+             robust=None, robust_delta=1.0):
     """Run ``iters`` GN steps inside ``lax.scan``; returns
     ``(graph, chi2_history [iters])``."""
 
     def step(g, _):
-        g2, chi2 = gauss_newton_step(g, damping, fix_mask=fix_mask)
+        g2, chi2 = gauss_newton_step(
+            g, damping, fix_mask=fix_mask, robust=robust,
+            robust_delta=robust_delta,
+        )
         return g2, chi2
 
     graph, hist = jax.lax.scan(step, graph, None, length=iters)
@@ -219,7 +256,8 @@ def _scatter_nodes(m, d, ei, ej, vi, vj, dtype):
 
 
 def gauss_newton_step_cg(graph: PoseGraph, damping=1e-6, fix_first=True,
-                         fix_mask=None, cg_iters=32, mesh=None):
+                         fix_mask=None, cg_iters=32, mesh=None,
+                         robust=None, robust_delta=1.0):
     """One GN step with a **matrix-free block-Jacobi PCG** inner solve —
     H is never materialised; each H-matvec is an edge-parallel pass
     (gather node values at edge endpoints -> per-edge D x D block
@@ -233,6 +271,8 @@ def gauss_newton_step_cg(graph: PoseGraph, damping=1e-6, fix_first=True,
     ``(graph', chi2_before)``; identical math to ``gauss_newton_step``
     up to CG tolerance.
     """
+    out_graph = graph
+    graph = _robustified(graph, robust, robust_delta)
     m = graph.nodes.shape[0]
     d = graph.dim
     pin = _pin_diag(graph, fix_first, fix_mask) + damping
@@ -329,17 +369,18 @@ def gauss_newton_step_cg(graph: PoseGraph, damping=1e-6, fix_first=True,
           graph.edge_valid)
         chi2 = chi2[0]
 
-    return _apply_delta(graph, delta, fix_mask), chi2
+    return _apply_delta(out_graph, delta, fix_mask), chi2
 
 
 def optimize_cg(graph: PoseGraph, iters=10, damping=1e-6, fix_mask=None,
-                cg_iters=32, mesh=None):
+                cg_iters=32, mesh=None, robust=None, robust_delta=1.0):
     """``optimize`` with the matrix-free (optionally mesh-distributed)
     PCG inner solver."""
 
     def step(g, _):
         g2, chi2 = gauss_newton_step_cg(
-            g, damping, fix_mask=fix_mask, cg_iters=cg_iters, mesh=mesh
+            g, damping, fix_mask=fix_mask, cg_iters=cg_iters, mesh=mesh,
+            robust=robust, robust_delta=robust_delta,
         )
         return g2, chi2
 

@@ -160,6 +160,26 @@ def decode_pose(buf):
     return v[:3].copy(), v[3:7].copy()
 
 
+def encode_distance_image(data, scale_x, scale_y, center_x,
+                          center_y) -> bytes:
+    """``mapping.projection.DistanceImage`` payload: u32 H, u32 W,
+    4 f32 intrinsics, then H*W f32 distances."""
+    d = np.asarray(data, np.float32)
+    h, w = d.shape
+    head = np.array([h, w], np.uint32).tobytes()
+    intr = np.array([scale_x, scale_y, center_x, center_y],
+                    np.float32).tobytes()
+    return head + intr + d.tobytes()
+
+
+def decode_distance_image(buf):
+    """Returns ``(data [H, W], scale_x, scale_y, center_x, center_y)``."""
+    h, w = (int(v) for v in np.frombuffer(buf[:8], np.uint32))
+    intr = np.frombuffer(buf[8:24], np.float32)
+    data = np.frombuffer(buf[24:24 + 4 * h * w], np.float32).reshape(h, w)
+    return data.copy(), *(float(v) for v in intr)
+
+
 # ------------------------------------------------------------------ API
 
 
@@ -191,6 +211,15 @@ class LogWriter:
 
     def write_pose(self, position, quat, timestamp_ns=0):
         self.append(POSE, encode_pose(position, quat), timestamp_ns)
+
+    def write_distance_image(self, data, scale_x, scale_y, center_x,
+                             center_y, timestamp_ns=0):
+        self.append(
+            DISTANCE_IMAGE,
+            encode_distance_image(data, scale_x, scale_y, center_x,
+                                  center_y),
+            timestamp_ns,
+        )
 
     def close(self):
         if self._h:

@@ -260,6 +260,114 @@ def _fused_select_kernel(lx_ref, ly_ref, z_ref, table_ref, out_ref, *, wx,
     out_ref[...] = jnp.concatenate([found, mean_b, stdev_b, pad], axis=1)
 
 
+def _fused_select_kernel_t(lxy_ref, z_ref, table_ref, out_ref, *, wx, wy,
+                           k, z_window, mxu_dtype):
+    """Transposed-layout fused select: queries ride the LANE axis.
+
+    Motivation (measured via device trace): with queries on the sublane
+    axis the kernel operands are ``[Q, 1]``/``[Q, 8]`` arrays whose
+    (8, 128) tiling pads the lane dim 128x/16x — materialising them
+    costs ~2.5 ms/step of pure HBM inflation at 800k queries.  Here the
+    host passes ``lx*WY+ly`` as ``[Q/128, 128]`` and receives
+    ``[8, Q]`` (channels on sublanes, C = 2K = 8 = the native sublane
+    count) — every operand is layout-compact.
+
+    Math identical to ``_fused_select_kernel`` (onehot+matmul stages),
+    transposed: per 128-query lane block, ``rows_T = tableT @ onehot_T``
+    on the MXU, y-select mask over sublanes, channel collapse by a
+    constant ``[2K, WY*2K]`` selector matmul, z-window argmin over
+    sublanes.
+    """
+    c = 2 * k
+    wc = wy * c
+    lxy = lxy_ref[...]                     # [TB, 128] int32 (lx*WY + ly)
+    tb = lxy.shape[0]
+    table_t = table_ref[...].astype(mxu_dtype)          # [WX*... ] see host
+    # constant channel-collapse selector, transposed: [C, WC]
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 1)
+    outc = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
+    sel_t = ((col % c) == outc).astype(mxu_dtype)
+
+    blocks = []
+    for b in range(tb):
+        lxyb = lxy[b:b + 1, :]                           # [1, 128]
+        lxb = lxyb // wy
+        lyb = lxyb - lxb * wy
+        zb = z_ref[b:b + 1, :]                           # [1, 128] f32
+
+        iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, 128), 0)
+        oh_t = (jnp.broadcast_to(lxb, (wx, 128)) == iota_x).astype(
+            mxu_dtype
+        )                                                # [WX, 128]
+        rows_t = jnp.dot(table_t, oh_t,
+                         preferred_element_type=jnp.float32)  # [WC, 128]
+
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (wc, 128), 0)
+        mask = (rowid // c) == jnp.broadcast_to(lyb, (wc, 128))
+        masked = jnp.where(mask, rows_t, 0.0).astype(mxu_dtype)
+        cell_t = jnp.dot(sel_t, masked,
+                         preferred_element_type=jnp.float32)  # [C, 128]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 0)
+        is_mean = lane < k
+        stds = pltpu.roll(cell_t, shift=k, axis=0)
+        dist = jnp.abs(cell_t - zb)
+        cand = is_mean & (stds >= 0.0) & (dist <= z_window)
+        dist_inf = jnp.where(cand, dist, jnp.inf)
+        mind = jnp.min(dist_inf, axis=0, keepdims=True)
+        score = jnp.where(cand & (dist_inf == mind), lane, c)
+        best = jnp.min(score, axis=0, keepdims=True)     # [1, 128]
+        bm = lane == best
+        mean_b = jnp.sum(jnp.where(bm, cell_t, 0.0), axis=0, keepdims=True)
+        stdev_b = jnp.sum(jnp.where(bm, stds, 0.0), axis=0, keepdims=True)
+        found = (best < c).astype(jnp.float32)
+        pad = jnp.zeros((5, 128), jnp.float32)
+        blocks.append(jnp.concatenate([found, mean_b, stdev_b, pad],
+                                      axis=0))           # [8, 128]
+    out_ref[...] = jnp.concatenate(blocks, axis=1)       # [8, TB*128]
+
+
+def window_select_t(table, lx, ly, z, *, z_window=3.0, tile=512,
+                    interpret=False, mxu_dtype=jnp.bfloat16):
+    """Layout-compact fused select (see ``_fused_select_kernel_t``).
+    Same contract as ``window_select``."""
+    wx, wy, c = table.shape
+    k = c // 2
+    q = lx.shape[0]
+    qp = ((q + tile - 1) // tile) * tile
+    pad = qp - q
+    lxy = lx * wy + ly
+    if pad:
+        lxy = jnp.pad(lxy, (0, pad))
+        z = jnp.pad(z, (0, pad))
+    lxy2 = lxy.reshape(qp // 128, 128)
+    z2 = z.reshape(qp // 128, 128).astype(jnp.float32)
+    # transposed table [WY*C, WX] so rows_T = tableT @ onehot_T
+    table_t = table.reshape(wx, wy * c).T
+    tb = tile // 128
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_select_kernel_t, wx=wx, wy=wy, k=k, z_window=z_window,
+            mxu_dtype=mxu_dtype,
+        ),
+        grid=(qp // tile,),
+        in_specs=[
+            pl.BlockSpec((tb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wy * c, wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, qp), jnp.float32),
+        interpret=interpret,
+    )(lxy2, z2, table_t)
+    return out[0, :q] > 0.5, out[1, :q], out[2, :q]
+
+
 def window_select(table, lx, ly, z, *, z_window=3.0, tile=512,
                   interpret=False, mxu_dtype=jnp.bfloat16,
                   stage1="onehot", stage2="matmul"):
@@ -279,9 +387,13 @@ def window_select(table, lx, ly, z, *, z_window=3.0, tile=512,
     q = lx.shape[0]
     qp = ((q + tile - 1) // tile) * tile
     pad = qp - q
-    lxp = jnp.pad(lx, (0, pad))[:, None]
-    lyp = jnp.pad(ly, (0, pad))[:, None]
-    zp = jnp.pad(z, (0, pad))[:, None].astype(jnp.float32)
+    if pad:
+        lx = jnp.pad(lx, (0, pad))
+        ly = jnp.pad(ly, (0, pad))
+        z = jnp.pad(z, (0, pad))
+    lxp = lx[:, None]
+    lyp = ly[:, None]
+    zp = z[:, None].astype(jnp.float32)
     table2 = table.reshape(wx, wy * c)
     rows = wx
     if stage1 == "dg":
@@ -317,7 +429,7 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
                              tile=512, interpret=False,
                              mxu_dtype=jnp.bfloat16,
                              stage1="onehot", stage2="matmul",
-                             center_subsample=0):
+                             center_subsample=0, layout="q_sublanes"):
     """``windowed_get_patch`` with the z-window slot selection fused into
     the kernel (see ``_fused_select_kernel``).
 
@@ -360,11 +472,17 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
     lxc = jnp.clip(lx, 0, wx - 1)
     lyc = jnp.clip(ly, 0, wy - 1)
 
-    found, mean, stdev = window_select(
-        table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,
-        interpret=interpret, mxu_dtype=mxu_dtype,
-        stage1=stage1, stage2=stage2,
-    )
+    if layout == "q_lanes":
+        found, mean, stdev = window_select_t(
+            table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,
+            interpret=interpret, mxu_dtype=mxu_dtype,
+        )
+    else:
+        found, mean, stdev = window_select(
+            table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,
+            interpret=interpret, mxu_dtype=mxu_dtype,
+            stage1=stage1, stage2=stage2,
+        )
     found = found & inw
     stdev = jnp.abs(stdev)
 

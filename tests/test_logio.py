@@ -1,5 +1,7 @@
 """Native log runtime tests (writer/reader/async feeder)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -148,6 +150,58 @@ class TestBatchedAccess:
             np.testing.assert_allclose(
                 np.asarray(cs.position)[0, 0], 2.0
             )
+
+    def test_distance_image_roundtrip(self, log_path):
+        img = np.random.default_rng(0).uniform(
+            0.5, 3.0, (12, 16)
+        ).astype(np.float32)
+        with logio.LogWriter(log_path) as w:
+            w.write_distance_image(img, 0.01, 0.02, -0.5, -0.4,
+                                   timestamp_ns=7)
+        with logio.LogReader(log_path) as r:
+            t, ts, buf = r.get(0)
+            assert t == logio.DISTANCE_IMAGE and ts == 7
+            data, sx, sy, cx, cy = logio.decode_distance_image(buf)
+            np.testing.assert_allclose(data, img)
+            assert (sx, sy, cx, cy) == (
+                pytest.approx(0.01), pytest.approx(0.02),
+                pytest.approx(-0.5), pytest.approx(-0.4),
+            )
+
+    def test_dataset_converter(self, tmp_path):
+        """tools/convert_dataset.py: TUM trajectory + contact/scan CSVs
+        -> a loadable .eslg stream."""
+        import subprocess
+        import sys as _sys
+
+        traj = tmp_path / "tum.txt"
+        traj.write_text(
+            "# ts x y z qx qy qz qw\n"
+            "0.1 0.0 0.0 0.2 0 0 0 1\n"
+            "0.2 0.1 0.0 0.2 0 0 0 1\n"
+        )
+        contacts = tmp_path / "contacts.csv"
+        rows = []
+        for ts in (0.1, 0.2):
+            for i in range(4):
+                rows.append(f"{ts},{i},{0.1*i},0.0,-0.1,1.0,{i//2}")
+        contacts.write_text("\n".join(rows))
+        scans = tmp_path / "scans.csv"
+        scans.write_text("0.2,-0.5,0.1," + ",".join(["2.0"] * 8))
+        out = str(tmp_path / "out.eslg")
+        subprocess.run(
+            [_sys.executable, "tools/convert_dataset.py", out,
+             "--trajectory", str(traj), "--contacts", str(contacts),
+             "--scans", str(scans)],
+            check=True, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+        )
+        s = logio.load_stream(out)
+        assert s["contact"].shape == (2, 4)
+        assert s["orientation"].shape == (2, 4)
+        np.testing.assert_allclose(s["orientation"][0], [1, 0, 0, 0])
+        assert s["pose"].shape == (2, 7)
+        np.testing.assert_array_equal(np.nonzero(s["has_scan"])[0], [1])
 
     def test_load_stream(self, log_path):
         self._write_traverse(log_path, frames=12, scan_every=4, n_rays=8)

@@ -121,6 +121,31 @@ class TestFusedSelect:
             np.asarray(out[1])[f], np.asarray(ref[1])[f], rtol=1e-6
         )
 
+    @pytest.mark.parametrize("window", [64, (128, 64)])
+    def test_q_lanes_layout(self, packed, window):
+        """The transposed (queries-on-lanes) kernel must match the
+        sublane-layout kernel exactly."""
+        pts = jnp.concatenate(
+            [
+                jax.random.uniform(jax.random.PRNGKey(11), (777, 2),
+                                   minval=-0.7, maxval=0.7),
+                jax.random.uniform(jax.random.PRNGKey(12), (777, 1),
+                                   minval=-0.6, maxval=0.6),
+            ],
+            axis=1,
+        )
+        a = pg.windowed_get_patch_fused(
+            packed, pts, 3.0, window=window, interpret=True,
+            mxu_dtype=jnp.float32,
+        )
+        b = pg.windowed_get_patch_fused(
+            packed, pts, 3.0, window=window, interpret=True,
+            mxu_dtype=jnp.float32, layout="q_lanes",
+        )
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]))
+        np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]))
+
     def test_center_subsample(self, packed):
         """Subsampled window centring must not change results for a
         compact cloud (the centring error is << window half-size)."""

@@ -164,6 +164,43 @@ class TestSolverVariants:
         assert _pose_err(gs.nodes, gt) < 1e-3
         assert _pose_err(gs.nodes, gc.nodes) < 1e-5
 
+    @pytest.mark.parametrize("kind", ["huber", "dcs"])
+    def test_robust_kernel_rejects_outlier_closure(self, kind):
+        """A wildly wrong closure edge must not wreck the solution when
+        a robust kernel is on (and does without one)."""
+        import dataclasses
+
+        g, gt = _circle_graph(3)
+        # poison: a high-information closure claiming node 8 sits at
+        # node 0's pose + (5, 5)
+        e = 16 + 3  # after the odometry + 3 good closures
+        g = dataclasses.replace(
+            g,
+            edge_i=g.edge_i.at[e].set(0),
+            edge_j=g.edge_j.at[e].set(8),
+            edge_z=g.edge_z.at[e].set(jnp.array([5.0, 5.0, 0.0])),
+            edge_info=g.edge_info.at[e].set(jnp.eye(3) * 100.0),
+            edge_valid=g.edge_valid.at[e].set(True),
+        )
+        g_naive, _ = jax.jit(lambda g: pgr.optimize(g, 15))(g)
+        err_naive = _pose_err(g_naive.nodes, gt)
+        assert err_naive > 0.5  # wrecked
+
+        # Huber's linear tail bounds but does not nullify a strong
+        # outlier's influence; DCS saturates it to ~zero.
+        tol = 0.05 if kind == "dcs" else err_naive * 0.6
+        g_rob, _ = jax.jit(
+            lambda g: pgr.optimize(g, 20, robust=kind, robust_delta=1.0)
+        )(g)
+        assert _pose_err(g_rob.nodes, gt) < tol
+        # the CG solver applies the same reweighting
+        g_rob2, _ = jax.jit(
+            lambda g: pgr.optimize_cg(
+                g, 20, cg_iters=64, robust=kind, robust_delta=1.0
+            )
+        )(g)
+        assert _pose_err(g_rob2.nodes, gt) < tol
+
     def test_fix_mask_freezes_prefix(self):
         g, _ = _circle_graph(3)
         fm = jnp.arange(16) < 8
