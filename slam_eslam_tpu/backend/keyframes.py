@@ -139,7 +139,8 @@ class KeyframeManager:
         return (old.index, kf.index, float(score))
 
     def optimize(self, iters=10, incremental=False, margin=3,
-                 solver="dense", mesh=None, cg_iters=32):
+                 solver="dense", mesh=None, cg_iters=32, robust=None,
+                 robust_delta=1.0):
         """Re-solve the graph.
 
         ``incremental=True`` re-solves only the *affected* subgraph: it
@@ -170,7 +171,7 @@ class KeyframeManager:
             fix_mask = jnp.arange(b.graph.nodes.shape[0]) < cut
         hist = self.builder.optimize(
             iters, fix_mask=fix_mask, solver=solver, mesh=mesh,
-            cg_iters=cg_iters,
+            cg_iters=cg_iters, robust=robust, robust_delta=robust_delta,
         )
         self._optimized_edges = self.builder.n_edges
         return self.trajectory(), hist

@@ -470,18 +470,24 @@ class PoseGraphBuilder:
         return e
 
     def optimize(self, iters=10, fix_mask=None, solver="dense",
-                 cg_iters=32, mesh=None):
+                 cg_iters=32, mesh=None, robust=None, robust_delta=1.0):
         """``solver='dense'``: MXU Cholesky; ``'cg'``: matrix-free
         block-Jacobi PCG, optionally mesh-distributed over the edge
-        axis."""
+        axis.  ``robust``: 'huber'/'dcs' edge reweighting."""
         if solver == "cg":
             fn = jax.jit(
                 lambda g, fm: optimize_cg(
-                    g, iters, fix_mask=fm, cg_iters=cg_iters, mesh=mesh
+                    g, iters, fix_mask=fm, cg_iters=cg_iters, mesh=mesh,
+                    robust=robust, robust_delta=robust_delta,
                 )
             )
         else:
-            fn = jax.jit(lambda g, fm: optimize(g, iters, fix_mask=fm))
+            fn = jax.jit(
+                lambda g, fm: optimize(
+                    g, iters, fix_mask=fm, robust=robust,
+                    robust_delta=robust_delta,
+                )
+            )
         self.graph, hist = fn(
             self.graph,
             (jnp.zeros((self.graph.nodes.shape[0],), bool)

@@ -327,13 +327,17 @@ def _fused_select_kernel_t(lxy_ref, z_ref, table_ref, out_ref, *, wx, wy,
     out_ref[...] = jnp.concatenate(blocks, axis=1)       # [8, TB*128]
 
 
-def window_select_t(table, lx, ly, z, *, z_window=3.0, tile=512,
+def window_select_t(table, lx, ly, z, *, z_window=3.0, tile=1024,
                     interpret=False, mxu_dtype=jnp.bfloat16):
     """Layout-compact fused select (see ``_fused_select_kernel_t``).
-    Same contract as ``window_select``."""
+    Same contract as ``window_select``.  ``tile`` must be a multiple of
+    1024 (the index block's sublane dim ``tile/128`` must divide by 8).
+    """
     wx, wy, c = table.shape
     k = c // 2
     q = lx.shape[0]
+    tile = max(tile, 1024)
+    assert tile % 1024 == 0, "q_lanes tiles must be multiples of 1024"
     qp = ((q + tile - 1) // tile) * tile
     pad = qp - q
     lxy = lx * wy + ly
