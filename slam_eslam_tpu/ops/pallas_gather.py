@@ -433,7 +433,7 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
                              tile=512, interpret=False,
                              mxu_dtype=jnp.bfloat16,
                              stage1="onehot", stage2="matmul",
-                             center_subsample=0, layout="q_sublanes"):
+                             center_subsample=0, layout="q_lanes"):
     """``windowed_get_patch`` with the z-window slot selection fused into
     the kernel (see ``_fused_select_kernel``).
 
@@ -500,10 +500,10 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
     )
 
 
-def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=512,
+def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
                          interpret=False, mxu_dtype=jnp.bfloat16,
                          fused=True, stage1="onehot", stage2="matmul",
-                         mesh=None):
+                         mesh=None, layout="q_lanes"):
     """Lookup factory for the pose estimator (shared-map mode) using the
     Pallas window kernel.  ``map_id`` is ignored.
 
@@ -533,7 +533,7 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=512,
             return windowed_get_patch_fused(
                 packed, points, z_window, window=window, tile=tile,
                 interpret=interpret, mxu_dtype=mxu_dtype,
-                stage1=stage1, stage2=stage2,
+                stage1=stage1, stage2=stage2, layout=layout,
             )
         return windowed_get_patch(
             packed, points, z_window, window=window, tile=tile,

@@ -181,10 +181,15 @@ class TestShardedFilterStep:
         grid = simlib.terrain_grid(
             terrain, nx=64, ny=64, resolution=0.1, origin=(-3.2, -3.2)
         )
-        lk_single = pg.windowed_grid_lookup(grid, window=32,
-                                            interpret=True)
-        lk_mesh = pg.windowed_grid_lookup(grid, window=32,
-                                          interpret=True, mesh=mesh)
+        # f32 MXU dtype: the CPU backend cannot execute bf16 dots inside
+        # shard_map (bf16 is the TPU fast path only)
+        lk_single = pg.windowed_grid_lookup(
+            grid, window=32, interpret=True, mxu_dtype=jnp.float32
+        )
+        lk_mesh = pg.windowed_grid_lookup(
+            grid, window=32, interpret=True, mesh=mesh,
+            mxu_dtype=jnp.float32,
+        )
         pts = jnp.concatenate(
             [
                 jax.random.uniform(jax.random.PRNGKey(0), (64, 4, 2),
