@@ -288,43 +288,64 @@ def _fused_select_kernel_t(lxy_ref, z_ref, table_ref, out_ref, *, wx, wy,
     outc = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
     sel_t = ((col % c) == outc).astype(mxu_dtype)
 
-    blocks = []
+    t = tb * 128
+    # Fuse the two matmuls across the tile's lane blocks: concatenate
+    # the FULL-HEIGHT one-hot blocks along lanes so stage 1 runs once
+    # over [WX, T] (better MXU pipelining than tb separate N=128 dots).
+    # The [1, 128] ly/z rows cannot be lane-concatenated (Mosaic:
+    # "offset mismatch on non-concat dimension" — they live on
+    # different sublanes of the index tile), so masking and the
+    # z-select stay per block.
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, 128), 0)
+    ohs, lys, zs = [], [], []
     for b in range(tb):
         lxyb = lxy[b:b + 1, :]                           # [1, 128]
         lxb = lxyb // wy
-        lyb = lxyb - lxb * wy
-        zb = z_ref[b:b + 1, :]                           # [1, 128] f32
+        lys.append(lxyb - lxb * wy)
+        zs.append(z_ref[b:b + 1, :])
+        ohs.append(
+            (jnp.broadcast_to(lxb, (wx, 128)) == iota_x).astype(mxu_dtype)
+        )
+    oh_t = jnp.concatenate(ohs, axis=1)                  # [WX, T]
+    rows_t = jnp.dot(table_t, oh_t,
+                     preferred_element_type=jnp.float32)  # [WC, T]
 
-        iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, 128), 0)
-        oh_t = (jnp.broadcast_to(lxb, (wx, 128)) == iota_x).astype(
-            mxu_dtype
-        )                                                # [WX, 128]
-        rows_t = jnp.dot(table_t, oh_t,
-                         preferred_element_type=jnp.float32)  # [WC, 128]
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (wc, 128), 0)
+    masked_blocks = []
+    for b in range(tb):
+        rb = jax.lax.slice(rows_t, (0, b * 128), (wc, (b + 1) * 128))
+        mask = (rowid // c) == jnp.broadcast_to(lys[b], (wc, 128))
+        masked_blocks.append(
+            jnp.where(mask, rb, 0.0).astype(mxu_dtype)
+        )
+    masked = jnp.concatenate(masked_blocks, axis=1)      # [WC, T]
+    cell_all = jnp.dot(sel_t, masked,
+                       preferred_element_type=jnp.float32)  # [C, T]
 
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (wc, 128), 0)
-        mask = (rowid // c) == jnp.broadcast_to(lyb, (wc, 128))
-        masked = jnp.where(mask, rows_t, 0.0).astype(mxu_dtype)
-        cell_t = jnp.dot(sel_t, masked,
-                         preferred_element_type=jnp.float32)  # [C, 128]
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 0)
-        is_mean = lane < k
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 0)
+    is_mean = lane < k
+    out_blocks = []
+    for b in range(tb):
+        cell_t = jax.lax.slice(cell_all, (0, b * 128), (c, (b + 1) * 128))
+        zb = zs[b]
         stds = pltpu.roll(cell_t, shift=k, axis=0)
-        dist = jnp.abs(cell_t - zb)
+        dist = jnp.abs(cell_t - jnp.broadcast_to(zb, (c, 128)))
         cand = is_mean & (stds >= 0.0) & (dist <= z_window)
         dist_inf = jnp.where(cand, dist, jnp.inf)
         mind = jnp.min(dist_inf, axis=0, keepdims=True)
         score = jnp.where(cand & (dist_inf == mind), lane, c)
         best = jnp.min(score, axis=0, keepdims=True)     # [1, 128]
         bm = lane == best
-        mean_b = jnp.sum(jnp.where(bm, cell_t, 0.0), axis=0, keepdims=True)
-        stdev_b = jnp.sum(jnp.where(bm, stds, 0.0), axis=0, keepdims=True)
+        mean_b = jnp.sum(jnp.where(bm, cell_t, 0.0), axis=0,
+                         keepdims=True)
+        stdev_b = jnp.sum(jnp.where(bm, stds, 0.0), axis=0,
+                          keepdims=True)
         found = (best < c).astype(jnp.float32)
         pad = jnp.zeros((5, 128), jnp.float32)
-        blocks.append(jnp.concatenate([found, mean_b, stdev_b, pad],
-                                      axis=0))           # [8, 128]
-    out_ref[...] = jnp.concatenate(blocks, axis=1)       # [8, TB*128]
+        out_blocks.append(
+            jnp.concatenate([found, mean_b, stdev_b, pad], axis=0)
+        )
+    out_ref[...] = jnp.concatenate(out_blocks, axis=1)   # [8, T]
 
 
 def window_select_t(table, lx, ly, z, *, z_window=3.0, tile=1024,
