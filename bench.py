@@ -22,13 +22,23 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--particles", type=int, default=100_000)
+    ap.add_argument(
+        "--particles", type=int, default=None,
+        help="particle count (default: 100000 for --mode filter, "
+        "1024 for --mode slam — per-particle maps scale memory with "
+        "particles x map area)",
+    )
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
-        "--lookup", choices=["gather", "window"], default="window",
-        help="map-lookup path: XLA gather over the full grid, or the "
-        "Pallas VMEM-window kernel (tracking regime)",
+        "--lookup", choices=["gather", "window", "auto"], default="auto",
+        help="map-lookup path: XLA gather over the full grid, the "
+        "Pallas VMEM-window kernel (tracking regime), or the production "
+        "default — window kernel with on-device spread fallback",
+    )
+    ap.add_argument(
+        "--window", type=int, default=0,
+        help="window-kernel size in cells (0 = config default)",
     )
     ap.add_argument(
         "--contact-cap", type=int, default=8, dest="contact_cap",
@@ -54,6 +64,8 @@ def main():
         "math with a constant fake lookup (no map gather)",
     )
     args = ap.parse_args()
+    if args.particles is None:
+        args.particles = 1024 if args.mode == "slam" else 100_000
 
     if args.mode == "slam":
         return bench_slam(args)
@@ -68,7 +80,7 @@ def main():
     from slam_eslam_tpu.config import Config, ContactModelConfig
     from slam_eslam_tpu.filter import pose_estimator as pe
     from slam_eslam_tpu.filter import step as steplib
-    from slam_eslam_tpu.mapping.lookup import shared_grid_lookup
+    from slam_eslam_tpu.mapping.lookup import make_lookup
     from slam_eslam_tpu.models import sim as simlib
     from slam_eslam_tpu.utils import geometry
 
@@ -79,6 +91,8 @@ def main():
         min_effective=(n // 5 if args.min_effective < 0
                        else args.min_effective),
         contact_model=ContactModelConfig(contact_point_radius=0.0),
+        lookup_mode=args.lookup,
+        **({"lookup_window": args.window} if args.window else {}),
     )
 
     def terrain(x, y):
@@ -91,14 +105,10 @@ def main():
     grid = simlib.terrain_grid(
         terrain, nx=400, ny=400, resolution=0.05, origin=(-10.0, -10.0)
     )
-    if args.lookup == "window":
-        from slam_eslam_tpu.ops.pallas_gather import windowed_grid_lookup
-
-        # 64 cells @ 0.05 m = 3.2 m window: covers the tracking cloud;
-        # stage-1 matmul cost scales with window^2
-        lookup = windowed_grid_lookup(grid, window=64)
-    else:
-        lookup = shared_grid_lookup(grid)
+    # the production lookup seam (EmbodiedSlamFilter._update_fn uses the
+    # same factory): 64 cells @ 0.05 m = 3.2 m window covers the
+    # tracking cloud; "auto" adds the on-device spread fallback
+    lookup = make_lookup(cfg, grid)
 
     state = pe.PoseEstimatorState.create(cfg, args.contact_cap or 20)
     particles = pe.init_gaussian(
@@ -169,11 +179,24 @@ def main():
         best = min(best, time.time() - t0)
 
     pu_per_s = n * args.steps / best
+    # speed-of-light accounting (BASELINE per-chip kernel SoL metric):
+    # fraction of the min-time roofline (max of HBM-bytes / compute
+    # time for the abstract weighting step) the measured step achieves
+    from slam_eslam_tpu.utils import profiling
+
+    stats = profiling.weighting_step_stats(
+        n, args.contact_cap or 20, cfg.mls_patches_per_cell
+    )
+    sol = profiling.speed_of_light_fraction(best / args.steps, stats)
     result = {
         "metric": "particle_updates_per_sec_per_chip",
         "value": round(pu_per_s, 1),
         "unit": "particle-updates/s",
         "vs_baseline": round(pu_per_s / 1.0e6, 3),
+        "sol_fraction": round(sol, 4),
+        "ns_per_query": round(
+            best / args.steps / stats["queries"] * 1e9, 3
+        ),
     }
     print(json.dumps(result))
     print(
@@ -205,7 +228,7 @@ def bench_slam(args):
     from slam_eslam_tpu.filter.eslam_filter import EmbodiedSlamFilter
     from slam_eslam_tpu.models.asguard import AsguardSim
 
-    n = min(args.particles, 1024) if args.particles == 100_000 else args.particles
+    n = args.particles
 
     def terrain(x, y):
         return 0.15 * np.sin(0.7 * np.asarray(x)) + 0.12 * np.cos(
@@ -220,6 +243,7 @@ def bench_slam(args):
         grid_resolution=0.25,
         map_pool_blocks=n + 64,
         map_chain_length=3,
+        map_pool_color=False,  # perf config: no slip/texture fusion
         contact_model=ContactModelConfig(
             contact_point_radius=0.0, min_contacts=2
         ),

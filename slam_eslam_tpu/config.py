@@ -62,6 +62,11 @@ class ContactModelConfig:
     min_contacts: int = 3
     contact_likelihood_correction: float = 0.33
     contact_point_radius: float = 0.01
+    # weighting variant: "ratio" = the default ContactModel
+    # (``ContactModel.cpp:262-317``); "chitta" = the literature-based
+    # alternative model class (``ChittaContactModel``,
+    # ``src/ContactModel.hpp:168-173``, ``ContactModel.cpp:342-361``)
+    weighting: str = "ratio"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,6 +133,21 @@ class Config:
     log_particle_period: int = 100
 
     # ---- TPU-native additions (no reference counterpart) ----
+    # wrap-safe centroid yaw: the reference's getCentroid takes a plain
+    # weighted mean of yaw (``PoseEstimator.cpp:368``), which breaks at
+    # the +-pi wrap; True switches to the circular mean
+    # atan2(sum w sin, sum w cos).  Default False = faithful.
+    wrap_safe_centroid: bool = False
+    # shared-map lookup path: "gather" = XLA full-grid gather;
+    # "window" = Pallas VMEM-window kernel (fast, but queries beyond
+    # the window miss); "auto" = window kernel with an on-device
+    # spread-detection fallback to the full gather (production default)
+    lookup_mode: str = "auto"
+    # window size in cells for the Pallas lookup (int or (wx, wy)).
+    # 128 @ 0.05 m = 6.4 m: covers a 100k-particle tracking cloud with
+    # sigma ~0.3 m (a 64-cell window is right at the +-4.5 sigma extreme
+    # -> the auto fallback would fire every step)
+    lookup_window: int = 128
     # number of patch slots per MLS cell (fixed-shape patch lists)
     mls_patches_per_cell: int = 4
     # z search window (m) for MLSMap::getPatch (reference passes 3.0,
@@ -135,5 +155,9 @@ class Config:
     mls_z_window: float = 3.0
     # map-pool capacity for per-particle maps (copy-on-write blocks)
     map_pool_blocks: int = 8
+    # carry patch colours in the per-particle map pool (needed by the
+    # slip/terrain fusion and texture paths in SLAM mode; False saves
+    # 1.5x patch memory + merge traffic)
+    map_pool_color: bool = True
     # max grids chained per particle map (MLSMap grid chain)
     map_chain_length: int = 4

@@ -40,7 +40,7 @@ from slam_eslam_tpu.core.state import BodyContactState
 from slam_eslam_tpu.filter import pose_estimator as pe
 from slam_eslam_tpu.mapping import map_pool as mp
 from slam_eslam_tpu.mapping import mls_grid, projection
-from slam_eslam_tpu.mapping.lookup import shared_grid_lookup
+from slam_eslam_tpu.mapping.lookup import make_lookup
 from slam_eslam_tpu.utils import geometry
 
 
@@ -107,9 +107,18 @@ class EmbodiedSlamFilter:
              num_contact_points=20, key=None):
         """``pose`` = (position [3], yaw).  In shared-map mode a
         prebuilt MLS grid must be supplied (the reference throws when the
-        environment has none, ``EmbodiedSlamFilter.cpp:104``); otherwise
-        a per-particle map pool is created from a fresh template centred
-        on the start pose."""
+        environment has none, ``EmbodiedSlamFilter.cpp:104``).
+
+        In per-particle mode (``use_shared_map=False``) a supplied
+        ``shared_grid`` seeds every particle's map with a copy of that
+        environment grid — the reference's clone-from-env semantics
+        (finds the env MLSGrid, then ``setEnvironment`` +  ``cloneMaps``
+        deep-clones it per particle, ``EmbodiedSlamFilter.cpp:75-126``,
+        ``PoseEstimator.cpp:47-62``); without one, a fresh blank
+        template centred on the start pose is used (pure SLAM).
+        The surface hash builds from ``shared_grid`` in EITHER mode
+        (``EmbodiedSlamFilter.cpp:93-98``), enabling global
+        relocalisation in full-SLAM runs."""
         cfg = self.config
         position, yaw = np.asarray(pose[0], np.float64), float(pose[1])
         self.use_shared_map = use_shared_map
@@ -123,10 +132,13 @@ class EmbodiedSlamFilter:
             self.shared_grid = shared_grid
             self.pool = None
         else:
-            template = self.make_grid_template(center=position[:2])
+            template = (
+                shared_grid if shared_grid is not None
+                else self.make_grid_template(center=position[:2])
+            )
             self.pool = mp.MapPool.from_template(
                 template, cfg.particle_count, cfg.map_pool_blocks,
-                cfg.map_chain_length,
+                cfg.map_chain_length, with_color=cfg.map_pool_color,
             )
             self.shared_grid = None
 
@@ -140,9 +152,14 @@ class EmbodiedSlamFilter:
         if use_hash:
             from slam_eslam_tpu.filter import surface_hash as sh
 
-            self.hash = sh.SurfaceHash.create(
-                hash_config, self.shared_grid
-            )
+            if shared_grid is None:
+                raise ValueError(
+                    "the surface hash precomputes over a prebuilt "
+                    "environment grid — pass shared_grid "
+                    "(EmbodiedSlamFilter.cpp:93-98 builds the hash from "
+                    "the env's MLSGrid in both map modes)"
+                )
+            self.hash = sh.SurfaceHash.create(hash_config, shared_grid)
             particles = self.hash.sample_particles(
                 k_init, cfg.particle_count
             )
@@ -176,11 +193,11 @@ class EmbodiedSlamFilter:
 
             @jax.jit
             def f(state, cs, q, map_state, wheel_probs, wheel_valid):
-                # the slip update reads patch colours -> unpacked lookup
+                # production lookup: config-dispatched (Pallas window
+                # kernel with spread fallback by default; the slip
+                # update reads patch colours -> unpacked gather)
                 lookup = (
-                    shared_grid_lookup(
-                        map_state, cfg.mls_z_window, packed=not use_slip
-                    )
+                    make_lookup(cfg, map_state)
                     if shared
                     else mp.chain_lookup(map_state, cfg.mls_z_window)
                 )
@@ -189,7 +206,8 @@ class EmbodiedSlamFilter:
                     from slam_eslam_tpu.models import terrain as terr
 
                     terrain_prob = lambda gid, color: terr.per_point_probability(
-                        gid, color, wheel_probs, wheel_valid
+                        gid, color, wheel_probs, wheel_valid,
+                        with_mask=True,  # feeds spoints debug capture
                     )
                 state, aux = pe.update(
                     state, cs, q, lookup, cfg, terrain_prob=terrain_prob
@@ -456,7 +474,9 @@ class EmbodiedSlamFilter:
         ``streaming.frames_from_log``.  Requires per-particle-map mode.
         Consumes and updates this filter's state (incl. motion-gate
         anchors and ``update_idx``).  Returns the per-frame ``aux``
-        (centroids, gate booleans).
+        (centroids, gate booleans) plus ``alloc_failed_total`` — the
+        cumulative count of map-pool exhaustion events (silently
+        degraded merges) over the stream.
         """
         from slam_eslam_tpu.filter import streaming
 
@@ -466,11 +486,23 @@ class EmbodiedSlamFilter:
                 "(use_shared_map=False); shared-map tracking streams "
                 "via filter.step.make_scan_runner"
             )
-        key = ("stream", id(mesh), laser2body is None)
+        # cache key: extrinsics by CONTENT (a runner closes over the
+        # laser2body values — keying on identity would silently reuse a
+        # runner compiled with different extrinsics); the mesh entry
+        # keeps a strong reference so its id cannot be recycled
+        extr = (
+            None if laser2body is None
+            else (np.asarray(laser2body[0], np.float32).tobytes()
+                  + np.asarray(laser2body[1], np.float32).tobytes())
+        )
+        key = ("stream", extr, None if mesh is None else id(mesh))
         if key not in self._jit_cache:
-            self._jit_cache[key] = streaming.make_slam_scan_runner(
-                self.config, laser2body=laser2body, hash_=self.hash,
-                mesh=mesh,
+            self._jit_cache[key] = (
+                streaming.make_slam_scan_runner(
+                    self.config, laser2body=laser2body, hash_=self.hash,
+                    mesh=mesh,
+                ),
+                mesh,  # strong ref: pins id(mesh) for the cache lifetime
             )
         carry = streaming.StreamingState.create(self.state, self.pool)
         # resume the motion-gate anchors from the host-side state
@@ -486,7 +518,8 @@ class EmbodiedSlamFilter:
             ),
             update_idx=jnp.asarray(self.update_idx, jnp.int32),
         )
-        carry, aux = self._jit_cache[key](carry, frames)
+        runner, _ = self._jit_cache[key]
+        carry, aux = runner(carry, frames)
         self.state = carry.filter
         self.pool = carry.pool
         self.update_idx = int(carry.update_idx)
@@ -494,6 +527,17 @@ class EmbodiedSlamFilter:
                                np.asarray(carry.ud_pos))
         self.map_pose = _affine(np.asarray(carry.map_q),
                                 np.asarray(carry.map_pos))
+        # surface pool exhaustion (silently dropped merges) to callers
+        aux["alloc_failed_total"] = carry.alloc_failed
+        nf = int(carry.alloc_failed)
+        if nf:
+            import sys
+
+            print(
+                f"slam_eslam_tpu: map pool exhausted {nf} times during "
+                "the stream (merges degraded; raise map_pool_blocks)",
+                file=sys.stderr,
+            )
         return aux
 
     def update_featurecloud(self, *_args, **_kw):
@@ -554,7 +598,8 @@ class EmbodiedSlamFilter:
     def get_centroid(self):
         """(position [3], orientation quat [4])."""
         q = self.state.odometry.prev_orientation
-        return pe.centroid(self.state.particles, q)
+        return pe.centroid(self.state.particles, q,
+                           wrap_safe=self.config.wrap_safe_centroid)
 
     def get_distribution(self, body_state=None, n_components=3):
         """Export the observable ``PoseDistribution`` (particles + 2-D

@@ -307,16 +307,27 @@ def update(
     return state, aux
 
 
-def centroid(particles: ParticleSet, orientation):
+def centroid(particles: ParticleSet, orientation, wrap_safe=False):
     """Weighted-mean pose (``PoseEstimator::getCentroid``,
     ``PoseEstimator.cpp:354-383``).
 
     Returns ``(position [3], quaternion [4])`` where the quaternion is
     ``R_z(mean_yaw) * removeYaw(orientation)``.
+
+    ``wrap_safe``: the reference takes a plain weighted mean of yaw
+    (``PoseEstimator.cpp:368``) which is wrong across the +-pi wrap
+    (two particles at +-179 deg average to ~0 deg); True uses the
+    circular mean instead (``Config.wrap_safe_centroid``).
     """
     w, _ = pf.normalize_weights(particles.weight)
     xy = jnp.sum(particles.xy * w[:, None], axis=0)
-    yaw = jnp.sum(particles.yaw * w)
+    if wrap_safe:
+        yaw = jnp.arctan2(
+            jnp.sum(jnp.sin(particles.yaw) * w),
+            jnp.sum(jnp.cos(particles.yaw) * w),
+        )
+    else:
+        yaw = jnp.sum(particles.yaw * w)
     z = jnp.sum(particles.z * w)
     q = geometry.quat_mul(
         geometry.quat_from_yaw(yaw), geometry.remove_yaw(orientation)

@@ -110,7 +110,8 @@ def make_scan_runner(cfg: Config, map_lookup, mesh=None):
         state = dataclasses.replace(
             state, particles=shd.constrain_particles(state.particles, mesh)
         )
-        c_pos, _ = pe.centroid(state.particles, q)
+        c_pos, _ = pe.centroid(state.particles, q,
+                               wrap_safe=cfg.wrap_safe_centroid)
         return state, c_pos
 
     @jax.jit

@@ -232,7 +232,8 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
         )
         st, pool = constrain(st, pool)
 
-        c_pos, _ = pe.centroid(st.particles, q)
+        c_pos, _ = pe.centroid(st.particles, q,
+                               wrap_safe=cfg.wrap_safe_centroid)
         out = StreamingState(
             filter=st, pool=pool, ud_pos=ud_pos, ud_q=ud_q,
             map_pos=map_pos, map_q=map_q, update_idx=update_idx,

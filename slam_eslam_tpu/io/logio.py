@@ -343,13 +343,36 @@ def load_stream(path):
             raw[:, 4:].tobytes(), _CONTACT_DT
         ).reshape(cidx.size, c)
 
+        # every contact record must share C — a mismatched record would be
+        # silently truncated / zero-padded by the fixed-stride C gather
+        counts = np.frombuffer(
+            r.gather(cidx, 4).tobytes(), np.uint32
+        )
+        if not (counts == c).all():
+            bad = int(np.nonzero(counts != c)[0][0])
+            raise ValueError(
+                f"contact record {bad} has {int(counts[bad])} points, "
+                f"expected {c} (fixed-shape streams need a uniform count)"
+            )
+
         oidx, _ = r.select(ORIENTATION)
+        if oidx.size and oidx.size != cidx.size:
+            raise ValueError(
+                f"log violates the one-record-per-frame convention: "
+                f"{oidx.size} orientation records vs {cidx.size} contact "
+                "frames (frames would silently misalign)"
+            )
         orientation = (
             np.frombuffer(r.gather(oidx, 16).tobytes(), np.float32)
             .reshape(-1, 4)
             if oidx.size else None
         )
         pidx, _ = r.select(POSE)
+        if pidx.size and pidx.size != cidx.size:
+            raise ValueError(
+                f"log violates the one-record-per-frame convention: "
+                f"{pidx.size} pose records vs {cidx.size} contact frames"
+            )
         pose = (
             np.frombuffer(r.gather(pidx, 28).tobytes(), np.float32)
             .reshape(-1, 7)
@@ -364,6 +387,16 @@ def load_stream(path):
         if sidx.size:
             _, _, sbuf = r.get(int(sidx[0]))
             n_rays = int(np.frombuffer(bytes(sbuf[:4]), np.uint32)[0])
+            ray_counts = np.frombuffer(
+                r.gather(sidx, 4).tobytes(), np.uint32
+            )
+            if not (ray_counts == n_rays).all():
+                bad = int(np.nonzero(ray_counts != n_rays)[0][0])
+                raise ValueError(
+                    f"scan record {bad} has {int(ray_counts[bad])} rays, "
+                    f"expected {n_rays} (the fixed-stride gather would "
+                    "silently truncate or zero-pad it)"
+                )
             srec = 12 + 4 * n_rays
             sraw = r.gather(sidx, srec)
             meta = np.frombuffer(sraw[:, 4:12].tobytes(),
@@ -376,6 +409,15 @@ def load_stream(path):
             # attach each scan to the closest preceding contact frame
             fi = np.searchsorted(cts, sts, side="right") - 1
             fi = np.clip(fi, 0, t - 1)
+            if np.unique(fi).size != fi.size:
+                import warnings
+
+                warnings.warn(
+                    "multiple scans map to the same contact frame; "
+                    "earlier scans of a frame are dropped "
+                    "(last-writer-wins)",
+                    stacklevel=2,
+                )
             scan_ranges[fi] = ranges
             has_scan[fi] = True
 

@@ -43,3 +43,36 @@ def shared_grid_lookup(grid, z_window=3.0, packed=True):
 
     lookup.batched = True
     return lookup
+
+
+def make_lookup(cfg, grid, mesh=None, **kernel_kw):
+    """Config-driven shared-map lookup factory — THE production seam.
+
+    Dispatches on ``cfg.lookup_mode``:
+
+    * ``"gather"`` — exact XLA full-grid gather (``shared_grid_lookup``);
+    * ``"window"`` — the Pallas VMEM-window kernel (fast; queries beyond
+      the window miss — tracking-regime benches only);
+    * ``"auto"``   — window kernel with on-device spread detection that
+      falls back to the full gather when the query cloud's bounding box
+      exceeds the window (e.g. after hash relocalisation).  Default.
+
+    The slip/terrain update needs patch colours, which only the unpacked
+    gather carries — ``use_slip_update`` forces the gather path.
+    ``grid`` may be an ``MLSGrid`` or a prebuilt ``PackedLookup``; it may
+    be a traced value (map state travelling as a jit argument).
+    """
+    mode = cfg.lookup_mode
+    if mode not in ("gather", "window", "auto"):
+        raise ValueError(f"unknown lookup_mode {mode!r}")
+    use_slip = cfg.contact_model.use_slip_update
+    if mode == "gather" or use_slip:
+        return shared_grid_lookup(
+            grid, cfg.mls_z_window, packed=not use_slip
+        )
+    from slam_eslam_tpu.ops.pallas_gather import windowed_grid_lookup
+
+    return windowed_grid_lookup(
+        grid, z_window=cfg.mls_z_window, window=cfg.lookup_window,
+        mesh=mesh, fallback=(mode == "auto"), **kernel_kw,
+    )

@@ -43,9 +43,15 @@ from slam_eslam_tpu.mapping.mls_grid import MLSGrid, PatchCloud
 _FIELDS = ["mean", "stdev", "height", "valid", "horizontal", "update_idx"]
 
 
+def _data_fields(pool):
+    """Per-slot SoA fields of this pool (``color`` is optional — None
+    when the pool was built without colour to save 1.5x patch memory)."""
+    return _FIELDS + (["color"] if pool.color is not None else [])
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=_FIELDS + ["origin", "allocated", "chain"],
+    data_fields=_FIELDS + ["color", "origin", "allocated", "chain"],
     meta_fields=["resolution"],
 )
 @dataclasses.dataclass
@@ -56,6 +62,7 @@ class MapPool:
     valid: jax.Array       # [B, nx, ny, K] bool
     horizontal: jax.Array
     update_idx: jax.Array  # int32
+    color: jax.Array | None  # [B, nx, ny, K, 3] float32, or None
     origin: jax.Array      # [B, 2] float32 — world xy of block cell (0,0)
     allocated: jax.Array   # [B] bool
     chain: jax.Array       # [N, L] int32 block ids, head = active; -1 empty
@@ -90,16 +97,20 @@ class MapPool:
 
     @staticmethod
     def from_template(template: MLSGrid, n_particles, num_blocks,
-                      chain_len=4):
+                      chain_len=4, with_color=True):
         """Every particle starts with its own copy of the template grid
         (per-particle mode ``setEnvironment`` + immediate ``cloneMaps``,
-        ``PoseEstimator.cpp:47-62``)."""
+        ``PoseEstimator.cpp:47-62``; seeding from a prebuilt environment
+        grid = the clone-from-env path).
+
+        ``with_color=False`` drops patch colours (1.5x less patch
+        memory/merge traffic; slip/terrain fusion and textures then only
+        work in shared-map mode)."""
         b = num_blocks
         assert b >= n_particles, "pool must hold one block per particle"
-        shape = (b,) + template.mean.shape
 
         def tile(x, fill=0):
-            out = jnp.full(shape, fill, x.dtype)
+            out = jnp.full((b,) + x.shape, fill, x.dtype)
             return out.at[:n_particles].set(
                 jnp.broadcast_to(x, (n_particles,) + x.shape)
             )
@@ -113,6 +124,7 @@ class MapPool:
             valid=tile(template.valid, False),
             horizontal=tile(template.horizontal, True),
             update_idx=tile(template.update_idx),
+            color=tile(template.color) if with_color else None,
             origin=jnp.broadcast_to(template.origin, (b, 2)).copy(),
             allocated=(jnp.arange(b) < n_particles),
             chain=chain,
@@ -140,19 +152,30 @@ def _free_mask(pool: MapPool):
 
 
 def _copy_blocks(pool: MapPool, dst, src, mask):
-    """pool[dst[i]] <- pool[src[i]] where mask[i] (unique dst)."""
-    d = jnp.where(mask, dst, pool.b)  # out-of-bounds -> dropped
+    """pool[dst[i]] <- pool[src[i]] where mask[i] (unique dst).
 
-    def cp(a):
-        return a.at[d].set(a[jnp.where(mask, src, 0)], mode="drop")
+    The whole gather+scatter (2 x pool-sized HBM traffic in the worst
+    case) runs under ``lax.cond``: frames where no block actually needs
+    copying — every mapping frame between resamples, once heads are
+    unique — cost nothing.  (Measured: at 4096 particles the
+    unconditional copy dominated the streaming SLAM step.)
+    """
 
-    return dataclasses.replace(
-        pool,
-        **{f: cp(getattr(pool, f)) for f in _FIELDS},
-        origin=pool.origin.at[d].set(
-            pool.origin[jnp.where(mask, src, 0)], mode="drop"
-        ),
-    )
+    def do_copy(pool):
+        d = jnp.where(mask, dst, pool.b)  # out-of-bounds -> dropped
+
+        def cp(a):
+            return a.at[d].set(a[jnp.where(mask, src, 0)], mode="drop")
+
+        return dataclasses.replace(
+            pool,
+            **{f: cp(getattr(pool, f)) for f in _data_fields(pool)},
+            origin=pool.origin.at[d].set(
+                pool.origin[jnp.where(mask, src, 0)], mode="drop"
+            ),
+        )
+
+    return jax.lax.cond(jnp.any(mask), do_copy, lambda p: p, pool)
 
 
 def _allocate(pool: MapPool, want_mask):
@@ -218,23 +241,29 @@ def rollover(pool: MapPool, xy, threshold):
     new_block, n_failed = _allocate(pool, need)
     do = new_block >= 0
 
-    # clear the new blocks and position them on the particle
-    d = jnp.where(do, new_block, pool.b)
-    pool = dataclasses.replace(
-        pool,
-        valid=pool.valid.at[d].set(False, mode="drop"),
-        update_idx=pool.update_idx.at[d].set(0, mode="drop"),
-        origin=pool.origin.at[d].set(
-            xy - jnp.array([size_x / 2.0, size_y / 2.0], xy.dtype),
-            mode="drop",
-        ),
-        allocated=pool.allocated.at[d].set(True, mode="drop"),
-    )
-    shifted = jnp.concatenate(
-        [new_block[:, None], pool.chain[:, :-1]], axis=1
-    )
-    chain = jnp.where(do[:, None], shifted, pool.chain)
-    return dataclasses.replace(pool, chain=chain), n_failed
+    def do_roll(pool):
+        # clear the new blocks and position them on the particle
+        d = jnp.where(do, new_block, pool.b)
+        pool = dataclasses.replace(
+            pool,
+            valid=pool.valid.at[d].set(False, mode="drop"),
+            update_idx=pool.update_idx.at[d].set(0, mode="drop"),
+            origin=pool.origin.at[d].set(
+                xy - jnp.array([size_x / 2.0, size_y / 2.0], xy.dtype),
+                mode="drop",
+            ),
+            allocated=pool.allocated.at[d].set(True, mode="drop"),
+        )
+        shifted = jnp.concatenate(
+            [new_block[:, None], pool.chain[:, :-1]], axis=1
+        )
+        chain = jnp.where(do[:, None], shifted, pool.chain)
+        return dataclasses.replace(pool, chain=chain)
+
+    # rollovers are rare (a particle crossing its grid border) — skip
+    # the pool-wide scatters entirely on frames with none
+    pool = jax.lax.cond(jnp.any(do), do_roll, lambda p: p, pool)
+    return pool, n_failed
 
 
 def chain_lookup(pool: MapPool, z_window=3.0):
@@ -251,22 +280,27 @@ def chain_lookup(pool: MapPool, z_window=3.0):
         found = jnp.zeros(points.shape[:-1], bool)
         mean = jnp.zeros(points.shape[:-1], pool.mean.dtype)
         stdev = jnp.zeros(points.shape[:-1], pool.mean.dtype)
+        color = jnp.zeros(points.shape[:-1] + (3,), pool.mean.dtype)
+        with_color = pool.color is not None
         for l in range(pool.chain_len):
             b = chain[l]
             ok = b >= 0
             bi = jnp.where(ok, b, 0)
-            f, m, s = _block_get_patch(pool, bi, points, z_window)
+            f, m, s, c = _block_get_patch(
+                pool, bi, points, z_window, with_color=with_color
+            )
             use = ok & f & ~found
             mean = jnp.where(use, m, mean)
             stdev = jnp.where(use, s, stdev)
+            if with_color:
+                color = jnp.where(use[..., None], c, color)
             found = found | use
-        color = jnp.zeros(points.shape[:-1] + (3,), pool.mean.dtype)
         return found, mean, stdev, color
 
     return lookup
 
 
-def _block_get_patch(pool: MapPool, b, points, z_window):
+def _block_get_patch(pool: MapPool, b, points, z_window, with_color=False):
     origin = pool.origin[b]
     rel = (points[..., :2] - origin) / pool.resolution
     ix = jnp.floor(rel[..., 0]).astype(jnp.int32)
@@ -284,7 +318,13 @@ def _block_get_patch(pool: MapPool, b, points, z_window):
     best = jnp.argmin(dist, axis=-1)
     found = inb & jnp.any(cand, axis=-1)
     take = partial(jnp.take_along_axis, indices=best[..., None], axis=-1)
-    return found, take(means)[..., 0], take(stdevs)[..., 0]
+    color = None
+    if with_color and pool.color is not None:
+        colors = pool.color[b, cix, ciy]  # [..., K, 3]
+        color = jnp.take_along_axis(
+            colors, best[..., None, None], axis=-2
+        )[..., 0, :]
+    return found, take(means)[..., 0], take(stdevs)[..., 0], color
 
 
 def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
@@ -315,25 +355,39 @@ def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
     inb = (ix >= 0) & (ix < pool.nx) & (iy >= 0) & (iy < pool.ny)
     mask = inb & cloud.valid[None, :]
 
-    gx = (active[:, None] * pool.nx + ix).reshape(-1)
-    gy = iy.reshape(-1)
-    zf = wz.reshape(-1)
-    vf = var.reshape(-1)
-    mf = mask.reshape(-1)
-
+    # fuse same-cell points row-wise: each particle merges into its own
+    # (unique) active block, so cross-particle collisions are impossible
+    # and the dedup runs as N independent lane-axis sorts + MXU segment
+    # sums instead of one global N*P sort (see _dedup_fuse_rows)
     bx = pool.b * pool.nx
-    gx2, gy2, z2, v2, keep, _, _ = mls_grid._dedup_fuse(
-        gx, gy, zf, vf, mf, bx, pool.ny
+    lin = (active[:, None] * pool.nx + ix) * pool.ny + iy      # [N, P]
+    cf = (
+        jnp.broadcast_to(cloud.color[None], (n, p, 3))
+        if pool.color is not None else None
     )
-    arrays = {f: getattr(pool, f).reshape(bx, pool.ny, pool.k)
-              for f in _FIELDS}
+    lin_s, z2r, v2r, keepr, fcolor = mls_grid._dedup_fuse_rows(
+        lin, wz, var, mask, sentinel=bx * pool.ny, color=cf
+    )
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    gx2 = flat(lin_s // pool.ny)
+    gy2 = flat(lin_s % pool.ny)
+    z2, v2, keep = flat(z2r), flat(v2r), flat(keepr)
+    fcolor = None if fcolor is None else flat(fcolor)
+    fields = _data_fields(pool)
+
+    def flat_pool(a):
+        return a.reshape((bx, pool.ny, pool.k) + a.shape[4:])
+
+    arrays = {f: flat_pool(getattr(pool, f)) for f in fields}
     out = mls_grid.scatter_fuse_cells(
         arrays, gx2, gy2, z2, v2, keep, update_idx,
         patch_thickness=patch_thickness, gap_size=gap_size, x_oob=bx,
+        color=fcolor,
     )
     shape = (pool.b, pool.nx, pool.ny, pool.k)
     return dataclasses.replace(
-        pool, **{f: out[f].reshape(shape) for f in _FIELDS}
+        pool,
+        **{f: out[f].reshape(shape + out[f].shape[3:]) for f in fields},
     )
 
 
@@ -354,7 +408,7 @@ def match_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
         wz = cloud.z + zo
         pts = jnp.stack([wx, wy, wz], axis=-1)
         b = pool.chain[i, 0]
-        f, mean, stdev = _block_get_patch(pool, b, pts, z_window)
+        f, mean, stdev, _ = _block_get_patch(pool, b, pts, z_window)
         var = sigma**2 + stdev**2 + cloud.stdev**2 + os_**2
         score = jnp.exp(-0.5 * (wz - mean) ** 2 / var)
         score = jnp.where(m & f, score, 0.0)

@@ -298,6 +298,56 @@ def _dedup_fuse(ix, iy, z, var, mask, nx, ny, color=None):
     )
 
 
+def _dedup_fuse_rows(lin, z, var, mask, sentinel, color=None):
+    """Row-independent ``_dedup_fuse``: fuse same-cell entries within
+    each row (rows = particles in the per-particle merge — cells of
+    different particles can never collide because the linear id embeds
+    the particle's block).
+
+    TPU-first formulation: instead of one global ``argsort`` over N*P
+    elements + 1-D segment ops, sort WITHIN rows (cheap lane-axis sort)
+    and run the per-run inverse-variance sums as one-hot ``[N, P, P]``
+    batched matmuls on the MXU (P is the small cloud size, so the
+    one-hots are tiny and the contraction is essentially free).
+
+    Returns ``(lin_sorted [N, P], fused_z, fused_var, keep, fused_color)``
+    — entries reordered within rows; ``keep`` marks one survivor per
+    occupied cell.
+    """
+    n, p = lin.shape
+    lin_m = jnp.where(mask, lin, sentinel)
+    order = jnp.argsort(lin_m, axis=1)
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    lin_s, z_s, var_s, mask_s = take(lin_m), take(z), take(var), take(mask)
+
+    first = jnp.concatenate(
+        [jnp.ones((n, 1), bool), lin_s[:, 1:] != lin_s[:, :-1]], axis=1
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1      # [N, P)
+    onehot = (
+        seg[..., None] == jnp.arange(p, dtype=seg.dtype)
+    ).astype(z.dtype)                                          # [N, P, P]
+
+    w = jnp.where(mask_s, 1.0 / jnp.maximum(var_s, 1e-12), 0.0)
+    wsum = jnp.einsum("nps,np->ns", onehot, w)
+    zsum = jnp.einsum("nps,np->ns", onehot, w * z_s)
+    back = lambda a: jnp.take_along_axis(a, seg, axis=1)
+    fused_z = back(zsum / jnp.maximum(wsum, 1e-30))
+    fused_var = back(1.0 / jnp.maximum(wsum, 1e-30))
+
+    fused_color = None
+    if color is not None:
+        color_s = jnp.take_along_axis(color, order[..., None], axis=1)
+        csum = jnp.einsum("nps,npc->nsc", onehot, w[..., None] * color_s)
+        fused_color = jnp.take_along_axis(
+            csum / jnp.maximum(wsum, 1e-30)[..., None],
+            seg[..., None], axis=1,
+        )
+
+    keep = first & mask_s
+    return lin_s, fused_z, fused_var, keep, fused_color
+
+
 def scatter_fuse_cells(
     arrays, ix, iy, z, var, keep, update_idx,
     patch_thickness=0.1, gap_size=1.5, x_oob=None, color=None,

@@ -87,6 +87,7 @@ def lowest_point_per_group(state: BodyContactState):
     data_fields=[
         "measurement_valid", "weight", "z_delta", "z_var", "pose_var",
         "n_contacts", "cp_point", "cp_zdiff", "cp_zvar", "cp_prob", "cp_ok",
+        "sp_point", "sp_prob", "sp_ok",
     ],
     meta_fields=[],
 )
@@ -98,7 +99,11 @@ class ContactEvalResult:
     getZVar`` (``ContactModel.hpp:124-141``) and the internal
     ``m_poseVar``; ``cp_*`` arrays are the per-group environment contact
     points (``eslam::ContactPoint``, ``PoseParticle.hpp:20-43``) with a
-    validity mask (fixed segment count = C).
+    validity mask (fixed segment count = C).  ``sp_*`` arrays are the
+    per-contact-point slip-debug payload (``eslam::SlipPoint``,
+    ``PoseParticle.hpp:45-50``, produced by ``matchTerrain``,
+    ``ContactModel.cpp:248-254``) — captured only when the slip update
+    runs with debug points enabled, zeros otherwise.
     """
 
     measurement_valid: jax.Array  # bool — >= min_contacts groups found
@@ -112,6 +117,9 @@ class ContactEvalResult:
     cp_zvar: jax.Array            # [S]
     cp_prob: jax.Array            # [S] terrain/slip probability
     cp_ok: jax.Array              # [S] bool
+    sp_point: jax.Array = None    # [C, 3] slip-point world position
+    sp_prob: jax.Array = None     # [C] joint terrain probability
+    sp_ok: jax.Array = None       # [C] bool — classification existed
 
 
 def contact_likelihood_ratio(z, sigma, correction):
@@ -222,23 +230,38 @@ def evaluate_pose(
     # ``terrain_prob`` may be a callable of (group_id, patch_color) —
     # the visual classification comes from the queried patch colour
     # (matchTerrain, ContactModel.cpp:238-240) — or a precomputed [C]
-    # array.
-    if callable(terrain_prob):
-        terrain_prob = terrain_prob(state.group_id, color)
+    # array.  Callables may return ``(prob, has_classification)``; the
+    # mask feeds the slip-point debug payload.
+    terrain_prob, sp_has = _resolve_terrain_prob(
+        terrain_prob, state.group_id, color
+    )
     if terrain_prob is not None:
         logp = jnp.where(contrib, jnp.log(jnp.maximum(terrain_prob, 1e-30)), 0.0)
         cp_prob = jnp.exp(
             jax.ops.segment_sum(logp, seg, num_segments=num_seg)
         )
+        # slip-point debug capture (SlipPoint, ContactModel.cpp:248-254):
+        # one entry per contact point whose wheel had a classification
+        sp_point = world
+        sp_prob = terrain_prob
+        sp_ok = contrib & sp_has
     else:
         cp_prob = jnp.ones((num_seg,), dtype=world.dtype)
+        sp_point = jnp.zeros_like(world)
+        sp_prob = jnp.ones((c,), world.dtype)
+        sp_ok = jnp.zeros((c,), bool)
 
     n_contacts = jnp.sum(cp_ok).astype(jnp.int32)
     measurement_valid = n_contacts >= cfg.min_contacts
 
-    weight, z_delta, z_var = _evaluate_weight(
-        cp_zdiff, cp_zvar, cp_prob, cp_ok, cfg
-    )
+    if cfg.weighting == "chitta":
+        weight, z_delta, z_var = evaluate_weight_chitta(
+            cp_zdiff, cp_zvar, cp_ok, meas_var
+        )
+    else:
+        weight, z_delta, z_var = _evaluate_weight(
+            cp_zdiff, cp_zvar, cp_prob, cp_ok, cfg
+        )
 
     return ContactEvalResult(
         measurement_valid=measurement_valid,
@@ -252,7 +275,24 @@ def evaluate_pose(
         cp_zvar=cp_zvar,
         cp_prob=cp_prob,
         cp_ok=cp_ok,
+        sp_point=sp_point,
+        sp_prob=sp_prob,
+        sp_ok=sp_ok,
     )
+
+
+def _resolve_terrain_prob(terrain_prob, group_id, color):
+    """Normalise the ``terrain_prob`` argument: callables may return a
+    ``[...]`` probability array or ``(prob, has_classification)``;
+    default mask = grouped points."""
+    if callable(terrain_prob):
+        out = terrain_prob(group_id, color)
+        if isinstance(out, tuple):
+            return out
+        terrain_prob = out
+    if terrain_prob is None:
+        return None, None
+    return terrain_prob, jnp.broadcast_to(group_id >= 0, terrain_prob.shape)
 
 
 def _evaluate_weight(cp_zdiff, cp_zvar, cp_prob, cp_ok, cfg):
@@ -368,8 +408,9 @@ def evaluate_pose_batch(
     else:
         cp_point = jnp.zeros((n, num_seg, 3), dtype)
 
-    if callable(terrain_prob):
-        terrain_prob = terrain_prob(state.group_id, color)
+    terrain_prob, sp_has = _resolve_terrain_prob(
+        terrain_prob, state.group_id, color
+    )
     if terrain_prob is not None:
         logp = jnp.where(
             contrib, jnp.log(jnp.maximum(terrain_prob, 1e-30)), 0.0
@@ -378,33 +419,58 @@ def evaluate_pose_batch(
     else:
         cp_prob = jnp.ones((n, num_seg), dtype)
 
+    if terrain_prob is not None and with_debug_points:
+        # slip-point debug payload (SlipPoint, ContactModel.cpp:248-254)
+        sp_point = world
+        sp_prob = jnp.broadcast_to(terrain_prob, (n, c))
+        sp_ok = contrib & sp_has
+    else:
+        sp_point = jnp.zeros((n, c, 3), dtype)
+        sp_prob = jnp.ones((n, c), dtype)
+        sp_ok = jnp.zeros((n, c), bool)
+
     n_contacts = jnp.sum(cp_ok, axis=-1).astype(jnp.int32)
     measurement_valid = n_contacts >= cfg.min_contacts
 
-    # weighting (evaluateWeight), batched
-    inv_var = jnp.where(cp_ok, 1.0 / cp_zvar, 0.0)
-    d1 = jnp.sum(jnp.where(cp_ok, cp_zdiff, 0.0) * inv_var, axis=-1)
-    d2 = jnp.sum(inv_var, axis=-1)
-    safe_d2 = jnp.where(d2 > 0, d2, 1.0)
-    delta = d1 / safe_d2
-    odiff2 = jnp.where(
-        cp_ok, (cp_zdiff - delta[:, None]) ** 2 / cp_zvar, 0.0
-    )
-    log_pz = jnp.zeros((n,), dtype)
-    if cfg.use_shape_update:
-        log_pz = log_pz - 0.5 * jnp.sum(odiff2, axis=-1)
-    if cfg.use_slip_update:
-        log_pz = log_pz + jnp.sum(
-            jnp.where(cp_ok, jnp.log(jnp.maximum(cp_prob, 1e-30)), 0.0),
+    if cfg.weighting == "chitta":
+        # ChittaContactModel::evaluateWeight (ContactModel.cpp:342-361),
+        # batched: anchor at the minimum zdiff, sum squared residuals
+        any_ok = jnp.any(cp_ok, axis=-1)
+        zmin = jnp.min(jnp.where(cp_ok, cp_zdiff, jnp.inf), axis=-1)
+        zmin = jnp.where(any_ok, zmin, 0.0)
+        z_t = jnp.sum(
+            jnp.where(cp_ok, (cp_zdiff - zmin[:, None]) ** 2, 0.0),
             axis=-1,
         )
-    weight = jnp.exp(log_pz)
+        weight = jnp.exp(-z_t / (2.0 * meas_var))
+        delta = zmin
+        z_var_out = jnp.asarray(meas_var, dtype)
+    else:
+        # weighting (evaluateWeight), batched
+        inv_var = jnp.where(cp_ok, 1.0 / cp_zvar, 0.0)
+        d1 = jnp.sum(jnp.where(cp_ok, cp_zdiff, 0.0) * inv_var, axis=-1)
+        d2 = jnp.sum(inv_var, axis=-1)
+        safe_d2 = jnp.where(d2 > 0, d2, 1.0)
+        delta = d1 / safe_d2
+        odiff2 = jnp.where(
+            cp_ok, (cp_zdiff - delta[:, None]) ** 2 / cp_zvar, 0.0
+        )
+        log_pz = jnp.zeros((n,), dtype)
+        if cfg.use_shape_update:
+            log_pz = log_pz - 0.5 * jnp.sum(odiff2, axis=-1)
+        if cfg.use_slip_update:
+            log_pz = log_pz + jnp.sum(
+                jnp.where(cp_ok, jnp.log(jnp.maximum(cp_prob, 1e-30)), 0.0),
+                axis=-1,
+            )
+        weight = jnp.exp(log_pz)
+        z_var_out = jnp.where(d2 > 0, 1.0 / safe_d2, jnp.inf)
 
     return ContactEvalResult(
         measurement_valid=measurement_valid,
         weight=weight,
         z_delta=-delta,
-        z_var=jnp.where(d2 > 0, 1.0 / safe_d2, jnp.inf),
+        z_var=z_var_out,
         pose_var=m_pose_var,
         n_contacts=n_contacts,
         cp_point=cp_point,
@@ -412,6 +478,9 @@ def evaluate_pose_batch(
         cp_zvar=cp_zvar,
         cp_prob=cp_prob,
         cp_ok=cp_ok,
+        sp_point=sp_point,
+        sp_prob=sp_prob,
+        sp_ok=sp_ok,
     )
 
 

@@ -47,7 +47,7 @@ def from_rgb(rgb):
 
 
 def per_point_probability(group_id, patch_color, wheel_classifications,
-                          wheel_valid):
+                          wheel_valid, with_mask=False):
     """Slip probability per contact point for ``evaluate_pose``.
 
     For each contact point: look up the proprioceptive classification of
@@ -58,7 +58,10 @@ def per_point_probability(group_id, patch_color, wheel_classifications,
 
     Args: ``group_id [C]``, ``patch_color [C, 3]``,
     ``wheel_classifications [W, NUM_CLASSES]``, ``wheel_valid [W]``.
-    Returns ``[C]``.
+    Returns ``[C]``; with ``with_mask`` returns ``(prob [C], has [C])``
+    — the mask feeds the slip-point debug capture
+    (``SlipPoint``, ``ContactModel.cpp:248-254``: a slip point exists
+    only for points whose wheel carried a classification).
     """
     w = wheel_classifications.shape[0]
     gid = jnp.clip(group_id, 0, w - 1)
@@ -66,4 +69,7 @@ def per_point_probability(group_id, patch_color, wheel_classifications,
     visual = from_rgb(patch_color)
     prob = joint_probability(visual, prop)
     has = (group_id >= 0) & wheel_valid[gid]
-    return jnp.where(has, prob, 1.0)
+    prob = jnp.where(has, prob, 1.0)
+    if with_mask:
+        return prob, has
+    return prob

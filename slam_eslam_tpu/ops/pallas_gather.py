@@ -521,16 +521,31 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
     )
 
 
+def _auto_kernel_defaults(interpret, mxu_dtype):
+    """Resolve ``None`` kernel options by backend: CPU runs the kernel
+    in interpret mode with exact f32 dots (bf16 dots do not execute on
+    the CPU backend inside shard_map); TPU compiles Mosaic with bf16."""
+    on_cpu = jax.default_backend() == "cpu"
+    if interpret is None:
+        interpret = on_cpu
+    if mxu_dtype is None:
+        mxu_dtype = jnp.float32 if on_cpu else jnp.bfloat16
+    return interpret, mxu_dtype
+
+
 def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
-                         interpret=False, mxu_dtype=jnp.bfloat16,
+                         interpret=None, mxu_dtype=None,
                          fused=True, stage1="onehot", stage2="matmul",
-                         mesh=None, layout="q_lanes"):
+                         mesh=None, layout="q_lanes", fallback=False):
     """Lookup factory for the pose estimator (shared-map mode) using the
     Pallas window kernel.  ``map_id`` is ignored.
 
     ``fused=True`` (default) runs the z-window slot selection inside the
     kernel (``windowed_get_patch_fused``); ``fused=False`` keeps the raw
     ``[Q, 2K]`` gather + XLA-side selection.
+
+    ``interpret``/``mxu_dtype``: ``None`` = auto by backend (CPU ->
+    interpret + f32, TPU -> Mosaic + bf16).
 
     ``mesh``: on a multi-chip mesh the kernel must run shard-locally
     (XLA cannot auto-partition a Mosaic custom call) — pass the
@@ -539,17 +554,27 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
     gathers locally; no communication (the map is replicated, the
     query batch stays sharded).
 
-    NOTE: unlike the full-grid gather, lookups farther than
-    ``window * resolution / 2`` from the query-cloud centroid miss; use
-    the standard lookup while the particle cloud may be globally spread
-    (e.g. right after hash relocalisation).
+    ``fallback=True`` adds spread detection ON DEVICE: when the query
+    cloud's cell bounding box does not fit the window (e.g. right after
+    hash relocalisation spread the particles globally), a ``lax.cond``
+    routes the batch through the exact full-grid gather instead — no
+    retrace, no silent misses (the production ``lookup_mode='auto'``).
+    Without it, lookups farther than ``window * resolution / 2`` from
+    the query-cloud centroid silently miss; only use ``fallback=False``
+    when the cloud is guaranteed compact (tracking-regime benches).
     """
     from slam_eslam_tpu.mapping import mls_grid
 
     if not isinstance(packed, mls_grid.PackedLookup):
         packed = mls_grid.PackedLookup.from_grid(packed)
+    interpret, mxu_dtype = _auto_kernel_defaults(interpret, mxu_dtype)
+    nx, ny = packed.data.shape[0], packed.data.shape[1]
+    wx, wy = ((window, window) if isinstance(window, int) else window)
+    # clamp to the grid (dynamic_slice would shrink silently otherwise)
+    wx, wy = min(wx, nx), min(wy, ny)
+    window = (wx, wy)
 
-    def one_device(points):
+    def kernel_path(points):
         if fused:
             return windowed_get_patch_fused(
                 packed, points, z_window, window=window, tile=tile,
@@ -557,8 +582,26 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
                 stage1=stage1, stage2=stage2, layout=layout,
             )
         return windowed_get_patch(
-            packed, points, z_window, window=window, tile=tile,
+            packed, points, z_window, window=wx, tile=tile,
             interpret=interpret, mxu_dtype=mxu_dtype,
+        )
+
+    def one_device(points):
+        if not fallback:
+            return kernel_path(points)
+        flat = points.reshape(-1, 3)
+        rel = (flat[:, :2] - packed.origin) / packed.resolution
+        ix = jnp.clip(jnp.floor(rel[:, 0]).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip(jnp.floor(rel[:, 1]).astype(jnp.int32), 0, ny - 1)
+        fits = (
+            (jnp.max(ix) - jnp.min(ix) < wx)
+            & (jnp.max(iy) - jnp.min(iy) < wy)
+        )
+        return jax.lax.cond(
+            fits,
+            kernel_path,
+            lambda p: mls_grid.get_patch_packed(packed, p, z_window),
+            points,
         )
 
     def lookup(map_id, points):

@@ -129,11 +129,14 @@ def resample_ppermute(key, weights, payload, mesh, scheme="systematic"):
         w_n = jnp.where(ok, w_local / jnp.where(ok, total, 1.0), 1.0 / n)
         ess = 1.0 / jax.lax.psum(jnp.sum(w_n * w_n), axis)
 
-        # shard boundaries over the unit interval
+        # shard boundaries over the unit interval.  Lower bounds come
+        # from the raw cumsum: applying them after the last-bound fixup
+        # would shift the last shard's offset by ~1e-6 and misresolve
+        # strata landing within that margin of a particle boundary.
         sums = jax.lax.all_gather(jnp.sum(w_n), axis)        # [P]
-        bounds = jnp.cumsum(sums)
-        bounds = bounds.at[-1].set(jnp.maximum(bounds[-1], 1.0 + 1e-6))
-        offsets = bounds - sums                              # lower bounds
+        cums = jnp.cumsum(sums)
+        offsets = cums - sums                                # lower bounds
+        bounds = cums.at[-1].set(jnp.maximum(cums[-1], 1.0 + 1e-6))
 
         # 2. my output slots: global stratum positions + source shard
         kk = d * nl + jnp.arange(nl, dtype=w_n.dtype)

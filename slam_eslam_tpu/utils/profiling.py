@@ -45,8 +45,7 @@ def timed(label, out=None):
 def sync():
     """Block until all device work is done (accurate timing boundaries)."""
     jax.effects_barrier()
-    for d in jax.live_arrays():
-        pass
+    jax.block_until_ready(jax.live_arrays())
 
 
 class StepLogger:

@@ -1,0 +1,277 @@
+"""Per-particle-map capability parity (VERDICT round-1 item 2).
+
+The reference's full-SLAM mode (useSharedMap=false) finds the
+environment's MLSGrid, builds the surface hash from it, and deep-clones
+that map per particle (``EmbodiedSlamFilter.cpp:75-126``,
+``PoseEstimator.cpp:47-62``); patch colour rides on per-particle maps so
+the slip/terrain fusion works there too (``ContactModel.cpp:238-252``).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_eslam_tpu.config import (
+    Config, ContactModelConfig, SurfaceHashConfig,
+)
+from slam_eslam_tpu.filter.eslam_filter import EmbodiedSlamFilter
+from slam_eslam_tpu.mapping import map_pool as mp
+from slam_eslam_tpu.mapping import mls_grid
+from slam_eslam_tpu.models import sim as simlib
+from slam_eslam_tpu.utils import geometry
+
+
+def terrain(x, y):
+    return 0.2 * np.sin(np.asarray(x)) + 0.15 * np.cos(0.8 * np.asarray(y))
+
+
+def small_config(n=32, **kw):
+    kw.setdefault(
+        "contact_model", ContactModelConfig(contact_point_radius=0.0)
+    )
+    return dataclasses.replace(
+        Config(),
+        particle_count=n,
+        min_effective=n // 2,
+        grid_size=8.0,
+        grid_resolution=0.25,
+        map_pool_blocks=n + 16,
+        map_chain_length=3,
+        **kw,
+    )
+
+
+def env_grid(fn=terrain, paint=None):
+    g = simlib.terrain_grid(fn, nx=64, ny=64, resolution=0.25,
+                            origin=(-8.0, -8.0))
+    if paint is not None:
+        g = dataclasses.replace(
+            g, color=jnp.broadcast_to(jnp.asarray(paint), g.color.shape)
+        )
+    return g
+
+
+class TestCloneFromEnv:
+    def test_pool_seeded_from_grid(self):
+        """init(use_shared_map=False, shared_grid=g) must give every
+        particle a private copy of g (clone-from-env,
+        ``PoseEstimator.cpp:47-62``) — chain lookups then equal direct
+        grid lookups before any merge."""
+        grid = env_grid()
+        f = EmbodiedSlamFilter(config=small_config(n=8))
+        f.init(pose=(np.array([0.0, 0.0, 0.2]), 0.0),
+               shared_grid=grid, use_shared_map=False)
+        assert f.pool is not None
+
+        pts = jnp.asarray(
+            np.stack(
+                [np.random.default_rng(0).uniform(-7, 7, (16,)),
+                 np.random.default_rng(1).uniform(-7, 7, (16,)),
+                 np.zeros(16)], axis=-1,
+            ), jnp.float32,
+        )
+        fg, mg, sg, _ = mls_grid.get_patch(grid, pts)
+        lookup = mp.chain_lookup(f.pool)
+        fp, mpn, sp, _ = lookup(3, pts)
+        np.testing.assert_array_equal(np.asarray(fp), np.asarray(fg))
+        np.testing.assert_allclose(
+            np.asarray(mpn)[np.asarray(fg)],
+            np.asarray(mg)[np.asarray(fg)], atol=1e-6,
+        )
+
+    def test_pool_color_roundtrip(self):
+        """Colours merged into a particle's map come back from
+        chain_lookup (the SLAM-mode half of the texture/slip path)."""
+        template = mls_grid.MLSGrid.create(
+            16, 16, 0.5, origin=(-4.0, -4.0), k=2
+        )
+        pool = mp.MapPool.from_template(template, 4, 8, with_color=True)
+        cloud = mls_grid.PatchCloud.create(
+            xy=jnp.array([[0.2, 0.3], [1.0, -0.5]], jnp.float32),
+            z=jnp.array([0.1, 0.2], jnp.float32),
+            stdev=jnp.array([0.05, 0.05], jnp.float32),
+            valid=jnp.ones(2, bool),
+            color=jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                            jnp.float32),
+        )
+        n = pool.n
+        pool = mp.merge_cloud_all(
+            pool,
+            jnp.zeros((n, 2), jnp.float32), jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+            cloud, 0,
+        )
+        lookup = mp.chain_lookup(pool)
+        pts = jnp.array(
+            [[0.2, 0.3, 0.1], [1.0, -0.5, 0.2]], jnp.float32
+        )
+        found, mean, stdev, color = lookup(0, pts)
+        assert np.asarray(found).all()
+        np.testing.assert_allclose(
+            np.asarray(color),
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], atol=1e-6,
+        )
+
+    def test_colorless_pool_saves_memory(self):
+        template = mls_grid.MLSGrid.create(16, 16, 0.5, k=2)
+        pool = mp.MapPool.from_template(template, 4, 8, with_color=False)
+        assert pool.color is None
+        lookup = mp.chain_lookup(pool)
+        pts = jnp.zeros((3, 3), jnp.float32)
+        found, mean, stdev, color = lookup(0, pts)
+        assert color.shape == (3, 3)  # zeros placeholder
+
+
+class TestSlipUpdatePerParticle:
+    def test_terrain_match_outweighs_mismatch(self):
+        """The slip update must work on the per-particle map pool path
+        (``ContactModel.cpp:238-252`` reads colours from the particle's
+        own map)."""
+        def run(labels):
+            cfg = small_config(
+                n=16,
+                contact_model=ContactModelConfig(
+                    contact_point_radius=0.0, use_slip_update=True,
+                    min_contacts=2,
+                ),
+            )
+            f = EmbodiedSlamFilter(config=cfg)
+            grid = env_grid(paint=[1.0, 0.0, 0.0])  # class-0 terrain
+            f.init(pose=(np.array([0.0, 0.0, 0.35]), 0.0),
+                   shared_grid=grid, use_shared_map=False)
+            sim = simlib.TrajectorySim(terrain, speed=0.05)
+            sim.step()
+            cs = sim.contact_state()
+            q = np.asarray(geometry.quat_from_yaw(jnp.asarray(sim.yaw)))
+            f.update_contact((q, sim.position), cs,
+                             terrain_classifications=labels)
+            return np.asarray(f.state.particles.mprob)
+
+        match = run([(w, [1.0, 0, 0]) for w in range(4)])
+        mismatch = run([(w, [0.0, 1.0, 0]) for w in range(4)])
+        valid = match > 0
+        assert valid.any()
+        assert (match[valid] > mismatch[valid]).all()
+
+
+class TestHashPerParticle:
+    def _hash_cfg(self):
+        return SurfaceHashConfig(
+            use_hash=True, slope_bins=10, angular_steps=4, period=2,
+            percentage=0.3,
+        )
+
+    def test_init_and_reinject(self):
+        """Hash builds from the env grid in per-particle mode
+        (``EmbodiedSlamFilter.cpp:93-126``) and reinjection runs."""
+        def sloped(x, y):
+            return 0.12 * np.asarray(x)
+
+        grid = env_grid(sloped)
+        f = EmbodiedSlamFilter(config=small_config(n=64))
+        f.init(pose=(np.zeros(3), 0.0), shared_grid=grid,
+               use_shared_map=False, hash_config=self._hash_cfg())
+        assert f.hash is not None and f.pool is not None
+        xy = np.asarray(f.state.particles.xy)
+        assert xy.std(axis=0).max() > 1.0  # global init
+
+        sim = simlib.TrajectorySim(sloped, speed=0.06)
+        for _ in range(3):
+            sim.step()
+            q = np.asarray(geometry.quat_from_yaw(jnp.asarray(sim.yaw)))
+            f.update_contact((q, sim.position), sim.contact_state())
+
+    def test_blank_per_particle_hash_rejected(self):
+        f = EmbodiedSlamFilter(config=small_config(n=8))
+        import pytest
+
+        with pytest.raises(ValueError):
+            f.init(pose=(np.zeros(3), 0.0), use_shared_map=False,
+                   hash_config=self._hash_cfg())
+
+    def test_kidnapped_recovery(self):
+        """Kidnapped-robot event in full-SLAM (per-particle) mode: after
+        the particle cloud is teleported away, hash reinjection must
+        bring candidates back near the true pose and the filter must
+        re-converge (``PoseEstimator.cpp:130-182,239-241``).
+
+        Terrain construction: the robot drives on a small flat plateau
+        surrounded by steep slope — the kinematic sim's contact
+        signature is flat (rigid body), so the flat-signature hash
+        bucket is small (high relevance -> the reinjection gate opens)
+        and its candidates concentrate on the plateau, i.e. near the
+        true pose."""
+        from slam_eslam_tpu.models.asguard import AsguardSim
+
+        def plateau(x, y):
+            r = np.sqrt(np.asarray(x) ** 2 + np.asarray(y) ** 2)
+            return 0.6 * np.maximum(0.0, r - 2.0)
+
+        n = 128
+        cfg = small_config(
+            n=n,
+            contact_model=ContactModelConfig(
+                contact_point_radius=0.0, min_contacts=2
+            ),
+        )
+        grid = env_grid(plateau)
+        sim = AsguardSim(terrain=plateau)
+        f = EmbodiedSlamFilter(config=cfg)
+        f.init(
+            pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+            shared_grid=grid, use_shared_map=False,
+            hash_config=SurfaceHashConfig(
+                use_hash=True, slope_bins=16, angular_steps=4,
+                period=2, percentage=0.3,
+            ),
+        )
+        # hash init spreads over the candidate set; pin the cloud to the
+        # true start to get a tracking baseline first
+        p = f.state.particles
+        f.state = dataclasses.replace(
+            f.state,
+            particles=dataclasses.replace(
+                p,
+                xy=jnp.zeros_like(p.xy) + jnp.asarray(
+                    sim.position[:2], jnp.float32
+                ),
+                z=jnp.full_like(p.z, sim.position[2]),
+                z_sigma=jnp.full_like(p.z_sigma, 0.1),
+            ),
+        )
+        q = np.array([1.0, 0, 0, 0], np.float32)
+
+        def frame(s):
+            f.update_contact(
+                (q, s.position.astype(np.float64)), s.contact_state()
+            )
+
+        for _ in range(4):
+            sim.step(wheel_delta=0.3, on_substep=frame)
+        c_pos, _ = f.get_centroid()
+        base_err = np.linalg.norm(
+            np.asarray(c_pos)[:2] - sim.position[:2]
+        )
+        assert base_err < 1.0, f"tracking baseline lost: {base_err}"
+
+        # KIDNAP: teleport the whole cloud 4 m off, onto the slope
+        p = f.state.particles
+        f.state = dataclasses.replace(
+            f.state,
+            particles=dataclasses.replace(
+                p, xy=p.xy + jnp.asarray([4.0, 0.0], jnp.float32)
+            ),
+        )
+        errs = []
+        for _ in range(12):
+            sim.step(wheel_delta=0.3, on_substep=frame)
+            c_pos, _ = f.get_centroid()
+            errs.append(np.linalg.norm(
+                np.asarray(c_pos)[:2] - sim.position[:2]
+            ))
+        # recovery: reinjected plateau candidates must out-weigh the
+        # kidnapped cloud — error must fall well below the 4 m offset
+        # (the plateau has ~2 m radius)
+        assert min(errs[-4:]) < 2.5, f"no recovery: errs={errs}"
