@@ -20,6 +20,12 @@ def main():
     ap.add_argument("--particles", type=int, default=24)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="/tmp/slam_demo")
+    ap.add_argument(
+        "--snapshot-every", type=int, default=0, dest="snapshot_every",
+        help="render the running filter every N steps (the offline "
+        "analog of the reference's 10 Hz live viz; frames land in "
+        "--out/frames)",
+    )
     args = ap.parse_args()
 
     from slam_eslam_tpu.utils.cache import enable_persistent_cache
@@ -100,6 +106,14 @@ def main():
     swap = np.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
     laser2body = (swap @ laser_rot, np.array([0.0, 0.1, 0.3]))
 
+    recorder = None
+    if args.snapshot_every:
+        from slam_eslam_tpu.viz.snapshots import SnapshotRecorder
+
+        recorder = SnapshotRecorder(
+            os.path.join(args.out, "frames"), every=args.snapshot_every
+        )
+
     for i in range(args.steps):
         sim.step(
             wheel_delta=0.3,
@@ -110,6 +124,8 @@ def main():
         mapped = f.update_scan(
             (q, sim.position.astype(np.float64)), make_scan(sim), laser2body
         )
+        if recorder is not None:
+            recorder.maybe(f, truth=sim.position)
         c_pos, _ = f.get_centroid()
         err = np.linalg.norm(np.asarray(c_pos)[:2] - sim.position[:2])
         print(

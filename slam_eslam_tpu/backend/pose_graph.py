@@ -389,6 +389,229 @@ def optimize_cg(graph: PoseGraph, iters=10, damping=1e-6, fix_mask=None,
 
 
 # --------------------------------------------------------------------------
+# Schur-complement trajectory partitioning (node-axis distributed GN)
+# --------------------------------------------------------------------------
+
+def _schur_structure(graph: PoseGraph, segments, boundary_cap):
+    """Classify nodes for a ``segments``-way contiguous trajectory
+    partition.
+
+    A node is **boundary** iff some valid edge crosses segments at it
+    (for a trajectory chain these are the segment seams; every loop
+    closure promotes its two endpoints).  All other coupling stays
+    interior to one segment, so the interior-interior normal-equation
+    block is block-diagonal over segments — the classic domain
+    decomposition that makes the node axis shardable.
+
+    Returns ``(seg [M], boundary [M] bool, gb [M] int32 boundary slot
+    or OOB, n_boundary [])``.
+    """
+    m = graph.nodes.shape[0]
+    assert m % segments == 0, "segments must divide the node capacity"
+    nl = m // segments
+    seg = jnp.arange(m, dtype=jnp.int32) // nl
+    cross = (seg[graph.edge_i] != seg[graph.edge_j]) & graph.edge_valid
+    boundary = jnp.zeros((m,), bool)
+    boundary = boundary.at[graph.edge_i].max(cross)
+    boundary = boundary.at[graph.edge_j].max(cross)
+    # stable global boundary slots (cumsum order); overflow -> OOB slot
+    rank = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    n_boundary = jnp.sum(boundary)
+    gb = jnp.where(boundary & (rank < boundary_cap), rank, boundary_cap)
+    gb = gb.astype(jnp.int32)
+    return seg, boundary, gb, n_boundary
+
+
+def gauss_newton_step_schur(graph: PoseGraph, segments=4,
+                            boundary_cap=64, damping=1e-6,
+                            fix_first=True, fix_mask=None, mesh=None,
+                            robust=None, robust_delta=1.0):
+    """One GN step via **Schur-complement trajectory partitioning**.
+
+    The trajectory's node axis splits into ``segments`` contiguous
+    blocks; boundary nodes (segment seams + loop-closure endpoints, at
+    most ``boundary_cap``) are eliminated last:
+
+    1. per-segment dense interior systems ``A_II^s`` factor
+       independently (batched MXU Cholesky — [S, NL*D, NL*D], never a
+       global [M*D, M*D] matrix),
+    2. the small boundary system ``S_BB = A_BB - sum_s A_BI (A_II)^-1
+       A_IB`` reduces across segments (``psum`` over ICI when ``mesh``
+       shards the segment axis),
+    3. back-substitution recovers interior deltas segment-locally.
+
+    This is the node-axis distributed solve (SURVEY §5 long-context
+    analog / BASELINE stretch): memory and factor work scale as
+    ``M^2 / S^2`` per device instead of the dense solver's ``M^2``.
+    Exact (up to roundoff) — matches ``gauss_newton_step``.
+    Returns ``(graph', chi2_before)``.
+    """
+    out_graph = graph
+    graph = _robustified(graph, robust, robust_delta)
+    m = graph.nodes.shape[0]
+    d = graph.dim
+    s_n = segments
+    nl = m // s_n
+    nb = boundary_cap
+    seg, boundary, gb, _ = _schur_structure(graph, s_n, nb)
+    li = jnp.arange(m, dtype=jnp.int32) % nl   # slot within segment
+    pin = _pin_diag(graph, fix_first, fix_mask) + damping
+
+    r, ji, jj, info = _edge_terms(graph)
+    ei, ej = graph.edge_i, graph.edge_j
+    chi2 = jnp.sum(jnp.einsum("ei,eij,ej->e", r, info, r))
+
+    hii = jnp.einsum("eki,ekl,elj->eij", ji, info, ji)
+    hij = jnp.einsum("eki,ekl,elj->eij", ji, info, jj)
+    hjj = jnp.einsum("eki,ekl,elj->eij", jj, info, jj)
+    bi = jnp.einsum("eki,ekl,el->ei", ji, info, r)
+    bj = jnp.einsum("eki,ekl,el->ei", jj, info, r)
+
+    bnd_i, bnd_j = boundary[ei], boundary[ej]
+    seg_i, seg_j = seg[ei], seg[ej]
+    li_i, li_j = li[ei], li[ej]
+
+    def route(node_bnd, s_idx, l_idx, g_idx, drop):
+        """(segment, interior-slot) or boundary-slot targets; entries
+        with ``drop`` scatter out of bounds."""
+        ii = jnp.where(drop | node_bnd, s_n, s_idx)     # OOB segment
+        il = jnp.where(drop | node_bnd, nl, l_idx)
+        ib = jnp.where(drop | ~node_bnd, nb, g_idx)
+        return ii, il, ib
+
+    drop = ~graph.edge_valid
+    si_seg, si_li, si_gb = route(bnd_i, seg_i, li_i, gb[ei], drop)
+    sj_seg, sj_li, sj_gb = route(bnd_j, seg_j, li_j, gb[ej], drop)
+
+    # ---- assemble the partitioned blocks (all scatters mode='drop')
+    a_ii = jnp.zeros((s_n, nl, nl, d, d), r.dtype)
+    a_ii = a_ii.at[si_seg, si_li, si_li].add(hii, mode="drop")
+    a_ii = a_ii.at[sj_seg, sj_li, sj_li].add(hjj, mode="drop")
+    # intra-segment interior-interior coupling
+    a_ii = a_ii.at[si_seg, si_li, sj_li].add(
+        jnp.where((si_seg == sj_seg)[:, None, None], hij, 0.0),
+        mode="drop",
+    )
+    a_ii = a_ii.at[sj_seg, sj_li, si_li].add(
+        jnp.where((si_seg == sj_seg)[:, None, None],
+                  jnp.swapaxes(hij, -1, -2), 0.0),
+        mode="drop",
+    )
+
+    a_bb = jnp.zeros((nb, nb, d, d), r.dtype)
+    a_bb = a_bb.at[si_gb, si_gb].add(hii, mode="drop")
+    a_bb = a_bb.at[sj_gb, sj_gb].add(hjj, mode="drop")
+    a_bb = a_bb.at[si_gb, sj_gb].add(hij, mode="drop")
+    a_bb = a_bb.at[sj_gb, si_gb].add(
+        jnp.swapaxes(hij, -1, -2), mode="drop"
+    )
+
+    # interior x boundary coupling [S, NL, NB, D, D]
+    a_ib = jnp.zeros((s_n, nl, nb, d, d), r.dtype)
+    a_ib = a_ib.at[si_seg, si_li, sj_gb].add(hij, mode="drop")
+    a_ib = a_ib.at[sj_seg, sj_li, si_gb].add(
+        jnp.swapaxes(hij, -1, -2), mode="drop"
+    )
+
+    b_int = jnp.zeros((s_n, nl, d), r.dtype)
+    b_int = b_int.at[si_seg, si_li].add(bi, mode="drop")
+    b_int = b_int.at[sj_seg, sj_li].add(bj, mode="drop")
+    b_bnd = jnp.zeros((nb, d), r.dtype)
+    b_bnd = b_bnd.at[si_gb].add(bi, mode="drop")
+    b_bnd = b_bnd.at[sj_gb].add(bj, mode="drop")
+
+    # pinning (added on the dense diagonals below): interior slots get
+    # their node pin; slots occupied by a boundary node (whose mass
+    # lives in A_BB) and padding slots get a unit diagonal so the
+    # segment factor stays SPD and their interior delta solves to zero
+    pin_ii = jnp.where(boundary, 1.0, pin).reshape(s_n, nl)
+    pin_b = jnp.zeros((nb + 1,), r.dtype).at[gb].add(
+        jnp.where(boundary, pin, 0.0)
+    )[:nb]
+    occupied = jnp.zeros((nb + 1,), bool).at[gb].set(True)[:nb]
+    pin_b = pin_b + jnp.where(occupied, 0.0, 1.0)
+
+    def dense(a, rows, cols):
+        return jnp.transpose(a, (0, 2, 1, 3)).reshape(rows * d, cols * d)
+
+    a_bb_d = dense(a_bb, nb, nb) + jnp.diag(jnp.repeat(pin_b, d))
+    b_bnd_d = b_bnd.reshape(nb * d)
+
+    def seg_solve(a_ii_s, a_ib_s, b_s, pin_s):
+        """Per-segment: factor A_II, return (Y = A_II^-1 A_IB,
+        w = A_II^-1 b_I, and the Schur contributions)."""
+        a = jnp.transpose(a_ii_s, (0, 2, 1, 3)).reshape(nl * d, nl * d)
+        a = a + jnp.diag(jnp.repeat(pin_s, d))
+        c = jnp.transpose(a_ib_s, (0, 2, 1, 3)).reshape(nl * d, nb * d)
+        bsd = b_s.reshape(nl * d)
+        cf = jax.scipy.linalg.cho_factor(a)
+        y = jax.scipy.linalg.cho_solve(cf, c)        # [NL*D, NB*D]
+        w = jax.scipy.linalg.cho_solve(cf, bsd)      # [NL*D]
+        s_contrib = c.T @ y                          # [NB*D, NB*D]
+        r_contrib = c.T @ w                          # [NB*D]
+        return y, w, s_contrib, r_contrib
+
+    if mesh is None:
+        y, w, s_c, r_c = jax.vmap(seg_solve)(a_ii, a_ib, b_int, pin_ii)
+        s_bb = a_bb_d - jnp.sum(s_c, axis=0)
+        rhs_b = b_bnd_d - jnp.sum(r_c, axis=0)
+        delta_b = jax.scipy.linalg.solve(s_bb, -rhs_b, assume_a="pos")
+        # back-substitute: delta_I = -w - Y delta_b  (H delta = -b)
+        delta_i = -w - jnp.einsum("sij,j->si", y, delta_b)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        _shard_map = (jax.shard_map if hasattr(jax, "shard_map")
+                      else __import__(
+                          "jax.experimental.shard_map",
+                          fromlist=["shard_map"]).shard_map)
+
+        def local(a_ii_l, a_ib_l, b_l, pin_l):
+            y, w, s_c, r_c = jax.vmap(seg_solve)(
+                a_ii_l, a_ib_l, b_l, pin_l
+            )
+            s_bb = a_bb_d - jax.lax.psum(jnp.sum(s_c, 0), "dp")
+            rhs_b = b_bnd_d - jax.lax.psum(jnp.sum(r_c, 0), "dp")
+            delta_b = jax.scipy.linalg.solve(
+                s_bb, -rhs_b, assume_a="pos"
+            )
+            delta_i = -w - jnp.einsum("sij,j->si", y, delta_b)
+            return delta_i, delta_b[None]
+
+        delta_i, delta_b = _shard_map(
+            local, mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp"), P()),
+        )(a_ii, a_ib, b_int, pin_ii)
+        delta_b = delta_b[0]
+
+    # gather the per-node delta: boundary nodes read their slot,
+    # interior nodes their segment solution
+    delta_i_nodes = delta_i.reshape(s_n, nl, d).reshape(m, d)
+    delta_b_nodes = delta_b.reshape(nb, d)[jnp.clip(gb, 0, nb - 1)]
+    delta = jnp.where(boundary[:, None], delta_b_nodes, delta_i_nodes)
+    return _apply_delta(out_graph, delta, fix_mask), chi2
+
+
+def optimize_schur(graph: PoseGraph, iters=10, segments=4,
+                   boundary_cap=64, damping=1e-6, fix_mask=None,
+                   mesh=None, robust=None, robust_delta=1.0):
+    """``optimize`` with the Schur-partitioned (optionally node-axis
+    mesh-distributed) solver."""
+
+    def step(g, _):
+        g2, chi2 = gauss_newton_step_schur(
+            g, segments=segments, boundary_cap=boundary_cap,
+            damping=damping, fix_mask=fix_mask, mesh=mesh,
+            robust=robust, robust_delta=robust_delta,
+        )
+        return g2, chi2
+
+    graph, hist = jax.lax.scan(step, graph, None, length=iters)
+    return graph, hist
+
+
+# --------------------------------------------------------------------------
 # Loop-closure detection by scan-to-map alignment
 # --------------------------------------------------------------------------
 

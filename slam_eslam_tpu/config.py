@@ -161,3 +161,22 @@ class Config:
     map_pool_color: bool = True
     # max grids chained per particle map (MLSMap grid chain)
     map_chain_length: int = 4
+    # block-allocation locality ranges: the pool's block axis is split
+    # into this many equal ranges and a particle only ever allocates
+    # from its own range (range = particle_index * shards // N).  On a
+    # 'dp' mesh with shards == mesh size, every fresh block is homed on
+    # its particle's device (particle/block co-location), so merges and
+    # head lookups stay shard-local; chain tails may still reference
+    # remote blocks after resampling migration (bounded cross-ICI
+    # gathers).  The allocation pattern depends only on this value —
+    # never on the actual device count — so runs are bit-identical
+    # across mesh sizes.  1 = global allocation (single-chip default).
+    map_pool_shards: int = 1
+    # scan-merge implementation for per-particle maps: 'pallas' = the
+    # per-block streaming kernel (ops.pallas_merge — DMAs each
+    # particle's active block through VMEM, one-hot MXU accumulation,
+    # no gather/scatter); 'xla' = dedup + gather/scatter; 'auto' =
+    # pallas on TPU for colourless pools, xla otherwise.  Meshed
+    # streaming currently forces 'xla' (a Mosaic call cannot be
+    # auto-partitioned over the sharded pool).
+    merge_kernel: str = "auto"

@@ -139,6 +139,7 @@ class EmbodiedSlamFilter:
             self.pool = mp.MapPool.from_template(
                 template, cfg.particle_count, cfg.map_pool_blocks,
                 cfg.map_chain_length, with_color=cfg.map_pool_color,
+                shards=cfg.map_pool_shards,
             )
             self.shared_grid = None
 
@@ -245,8 +246,13 @@ class EmbodiedSlamFilter:
                 p = state.particles
                 n_failed = jnp.zeros((), jnp.int32)
                 if update:
-                    pool_u, f1 = mp.ensure_unique_active(pool)
-                    pool_u, f2 = mp.rollover(pool_u, p.xy, threshold)
+                    pool_u, f1 = mp.ensure_unique_active(
+                        pool, shards=cfg.map_pool_shards
+                    )
+                    pool_u, f2 = mp.rollover(
+                        pool_u, p.xy, threshold,
+                        shards=cfg.map_pool_shards,
+                    )
                     pool = pool_u
                     n_failed = f1 + f2
                 if match:
@@ -266,6 +272,7 @@ class EmbodiedSlamFilter:
                         update_idx,
                         patch_thickness=cfg.grid_patch_thickness,
                         gap_size=cfg.grid_gap_size,
+                        kernel=cfg.merge_kernel,
                     )
                 return state, pool, n_failed
 
@@ -464,7 +471,8 @@ class EmbodiedSlamFilter:
         self.stereo_pose = pose
         return True
 
-    def run_stream(self, frames, laser2body=None, mesh=None):
+    def run_stream(self, frames, laser2body=None, mesh=None,
+                   camera2body=None, camera_intrinsics=None):
         """Device-resident execution of a whole frame stream
         (``filter.streaming``): every per-frame update this class would
         dispatch individually runs inside ONE ``lax.scan`` dispatch —
@@ -490,17 +498,21 @@ class EmbodiedSlamFilter:
         # laser2body values — keying on identity would silently reuse a
         # runner compiled with different extrinsics); the mesh entry
         # keeps a strong reference so its id cannot be recycled
-        extr = (
-            None if laser2body is None
-            else (np.asarray(laser2body[0], np.float32).tobytes()
-                  + np.asarray(laser2body[1], np.float32).tobytes())
-        )
-        key = ("stream", extr, None if mesh is None else id(mesh))
+        def _extr(e):
+            return (
+                None if e is None
+                else (np.asarray(e[0], np.float32).tobytes()
+                      + np.asarray(e[1], np.float32).tobytes())
+            )
+
+        key = ("stream", _extr(laser2body), _extr(camera2body),
+               camera_intrinsics, None if mesh is None else id(mesh))
         if key not in self._jit_cache:
             self._jit_cache[key] = (
                 streaming.make_slam_scan_runner(
                     self.config, laser2body=laser2body, hash_=self.hash,
-                    mesh=mesh,
+                    mesh=mesh, camera2body=camera2body,
+                    camera_intrinsics=camera_intrinsics,
                 ),
                 mesh,  # strong ref: pins id(mesh) for the cache lifetime
             )
@@ -516,6 +528,10 @@ class EmbodiedSlamFilter:
             map_q=geometry.quat_from_matrix(
                 jnp.asarray(self.map_pose[:3, :3], jnp.float32)
             ),
+            cam_pos=jnp.asarray(self.stereo_pose[:3, 3], jnp.float32),
+            cam_q=geometry.quat_from_matrix(
+                jnp.asarray(self.stereo_pose[:3, :3], jnp.float32)
+            ),
             update_idx=jnp.asarray(self.update_idx, jnp.int32),
         )
         runner, _ = self._jit_cache[key]
@@ -527,6 +543,8 @@ class EmbodiedSlamFilter:
                                np.asarray(carry.ud_pos))
         self.map_pose = _affine(np.asarray(carry.map_q),
                                 np.asarray(carry.map_pos))
+        self.stereo_pose = _affine(np.asarray(carry.cam_q),
+                                   np.asarray(carry.cam_pos))
         # surface pool exhaustion (silently dropped merges) to callers
         aux["alloc_failed_total"] = carry.alloc_failed
         nf = int(carry.alloc_failed)

@@ -45,13 +45,13 @@ from slam_eslam_tpu.utils import geometry
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["filter", "pool", "ud_pos", "ud_q", "map_pos", "map_q",
-                 "update_idx", "alloc_failed"],
+                 "cam_pos", "cam_q", "update_idx", "alloc_failed"],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class StreamingState:
     """Carry of the fused SLAM scan: filter + map pool + motion-gate
-    anchors (the reference's ``udPose``/``mapPose``,
+    anchors (the reference's ``udPose``/``mapPose``/``stereoPose``,
     ``EmbodiedSlamFilter.cpp:128,243,313``)."""
 
     filter: pe.PoseEstimatorState
@@ -60,6 +60,8 @@ class StreamingState:
     ud_q: jax.Array         # [4]
     map_pos: jax.Array      # [3] — laser pose position at last mapping
     map_q: jax.Array        # [4]
+    cam_pos: jax.Array      # [3] — camera pose position at last merge
+    cam_q: jax.Array        # [4]
     update_idx: jax.Array   # [] int32
     alloc_failed: jax.Array  # [] int32 — cumulative pool exhaustion
 
@@ -70,6 +72,7 @@ class StreamingState:
         return StreamingState(
             filter=filter_state, pool=pool,
             ud_pos=far, ud_q=qid, map_pos=far, map_q=qid,
+            cam_pos=far, cam_q=qid,
             update_idx=jnp.zeros((), jnp.int32),
             alloc_failed=jnp.zeros((), jnp.int32),
         )
@@ -82,55 +85,75 @@ def _quat_angle(qa, qb):
 
 
 def make_slam_step(cfg: Config, laser2body=None, hash_=None,
-                   match=None, update=True, mesh=None):
+                   match=None, update=True, mesh=None,
+                   camera2body=None, camera_intrinsics=None):
     """Build the fused per-frame SLAM step.
 
     ``step(carry: StreamingState, frame) -> (StreamingState, aux)`` with
     ``frame = (contact_state, q [4], body_pos [3], scan_ranges [R],
     scan_meta (start_angle, angular_resolution), has_scan [])``.
+    With ``camera2body`` set, two more entries follow:
+    ``(..., dimg [H, W], has_dimg [])`` — the distance-image camera path
+    of the reference (``EmbodiedSlamFilter.cpp:239-309``), gated by
+    ``mapping_camera_threshold`` on its own ``stereoPose`` anchor and
+    always merged (match=False, update=True, ``:301``).
 
     ``laser2body``: static (rot [3,3], trans [3]) sensor extrinsics.
+    ``camera_intrinsics``: static (scale_x, scale_y, center_x, center_y)
+    of the distance image (the reference builds its ``DistanceGrid``
+    once from the first image's parameters, ``:247-252``).
     ``match``: scan-match visual update (default ``cfg.use_visual_update``,
     ``EmbodiedSlamFilter.cpp:342``); ``update``: merge scans into the
     per-particle maps (per-particle mode; ``:344``).
 
     ``mesh``: shard the particle axis (particles + per-particle chain
-    rows) over a ``('dp',)`` mesh; map *blocks* stay replicated — the
-    deliberate layout for this workload: per-particle merges are
-    scatters indexed by sharded particles, which XLA completes with
-    collectives, while block replication keeps chain lookups local
-    (block-sharding would turn every COW chain lookup into a cross-ICI
-    gather; the pool is the small operand here, particles the large
-    one).  Tested equal to the single-device run on the virtual mesh.
+    rows) AND the map-block pool over a ``('dp',)`` mesh.  With
+    ``cfg.map_pool_shards == mesh size``, block allocation is
+    range-local (``mapping.map_pool._allocate``), so a particle's
+    active block always lives on its own device: merges, COW copies and
+    head lookups are shard-local, and map memory per device scales
+    down with the mesh.  Chain tails can reference remote blocks after
+    resampling migration — those lookups cross ICI (bounded: at most
+    ``chain_len - 1`` stale references per particle, re-homed at the
+    next rollover).  Tested equal to the single-device run on the
+    virtual mesh (the allocation pattern depends on
+    ``map_pool_shards``, never on the device count).
     """
     if match is None:
         match = cfg.use_visual_update
     threshold = cfg.grid_size / 2.0 * cfg.grid_threshold
+    # a Mosaic custom call cannot be auto-partitioned over a sharded
+    # pool — meshed streaming keeps the XLA merge
+    merge_kernel = "xla" if mesh is not None else cfg.merge_kernel
     l_rot = (jnp.eye(3, dtype=jnp.float32) if laser2body is None
              else jnp.asarray(laser2body[0], jnp.float32))
     l_trans = (jnp.zeros(3, jnp.float32) if laser2body is None
                else jnp.asarray(laser2body[1], jnp.float32))
+    if camera2body is not None:
+        c_rot = jnp.asarray(camera2body[0], jnp.float32)
+        c_trans = jnp.asarray(camera2body[1], jnp.float32)
+        if camera_intrinsics is None:
+            raise ValueError(
+                "camera2body needs camera_intrinsics=(scale_x, scale_y, "
+                "center_x, center_y)"
+            )
 
     def constrain(st, pool):
         if mesh is None:
             return st, pool
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from slam_eslam_tpu.parallel import sharding as shd
 
         st = dataclasses.replace(
             st, particles=shd.constrain_particles(st.particles, mesh)
         )
-        pool = dataclasses.replace(
-            pool,
-            chain=jax.lax.with_sharding_constraint(
-                pool.chain, NamedSharding(mesh, P("dp"))
-            ),
-        )
-        return st, pool
+        return st, shd.constrain_pool(pool, mesh)
 
     def step(carry: StreamingState, frame):
-        cs, q, body_pos, ranges, scan_meta, has_scan = frame
+        if camera2body is not None:
+            (cs, q, body_pos, ranges, scan_meta, has_scan,
+             dimg, has_dimg) = frame
+        else:
+            cs, q, body_pos, ranges, scan_meta, has_scan = frame
         body_pos = jnp.asarray(body_pos, jnp.float32)
 
         # ---- proprioceptive path (EmbodiedSlamFilter.cpp:353-369) ----
@@ -199,8 +222,11 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
             st, pool, update_idx, failed = op
             p = st.particles
             if update:
-                pool, f1 = mp.ensure_unique_active(pool)
-                pool, f2 = mp.rollover(pool, p.xy, threshold)
+                pool, f1 = mp.ensure_unique_active(
+                    pool, shards=cfg.map_pool_shards
+                )
+                pool, f2 = mp.rollover(pool, p.xy, threshold,
+                                       shards=cfg.map_pool_shards)
                 failed = failed + f1 + f2
             if match:
                 w = mp.match_cloud_all(
@@ -216,7 +242,7 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
                 pool = mp.merge_cloud_all(
                     pool, p.xy, p.yaw, p.z, p.z_sigma, cloud, update_idx,
                     patch_thickness=cfg.grid_patch_thickness,
-                    gap_size=cfg.grid_gap_size,
+                    gap_size=cfg.grid_gap_size, kernel=merge_kernel,
                 )
                 update_idx = update_idx + 1
             return st, pool, update_idx, failed, laser_pos, q
@@ -230,23 +256,81 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
             do_map, do_mapping, skip_mapping,
             (st, pool, carry.update_idx, carry.alloc_failed),
         )
+
+        # ---- camera mapping path (EmbodiedSlamFilter.cpp:239-309) ----
+        cam_pos, cam_q = carry.cam_pos, carry.cam_q
+        if camera2body is not None:
+            sx, sy, ctr_x, ctr_y = camera_intrinsics
+            img = projection.DistanceImage(
+                data=dimg,
+                scale_x=jnp.asarray(sx, jnp.float32),
+                scale_y=jnp.asarray(sy, jnp.float32),
+                center_x=jnp.asarray(ctr_x, jnp.float32),
+                center_y=jnp.asarray(ctr_y, jnp.float32),
+            )
+            cpts, cvalid = projection.distance_image_to_points(
+                img, cfg.max_sensor_range
+            )
+            ccloud = projection.project_points(
+                cpts, cvalid, c_rot, c_trans, q
+            )
+            cam_now = body_pos + geometry.quat_rotate(
+                q[None], c_trans[None]
+            )[0]
+            cdist = jnp.linalg.norm(cam_now - carry.cam_pos)
+            cangle = _quat_angle(q, carry.cam_q)
+            do_cam = has_dimg & cfg.mapping_camera_threshold.test(
+                cdist, cangle
+            )
+
+            def do_cam_map(op):
+                st, pool, update_idx, failed = op
+                p = st.particles
+                pool, f1 = mp.ensure_unique_active(
+                    pool, shards=cfg.map_pool_shards
+                )
+                pool, f2 = mp.rollover(pool, p.xy, threshold,
+                                       shards=cfg.map_pool_shards)
+                # camera merges are always update-only
+                # (processMap(scanMap, false, true), :301)
+                pool = mp.merge_cloud_all(
+                    pool, p.xy, p.yaw, p.z, p.z_sigma, ccloud, update_idx,
+                    patch_thickness=cfg.grid_patch_thickness,
+                    gap_size=cfg.grid_gap_size, kernel=merge_kernel,
+                )
+                return (st, pool, update_idx + 1, failed + f1 + f2,
+                        cam_now, q)
+
+            def skip_cam_map(op):
+                st, pool, update_idx, failed = op
+                return (st, pool, update_idx, failed,
+                        carry.cam_pos, carry.cam_q)
+
+            st, pool, update_idx, failed, cam_pos, cam_q = jax.lax.cond(
+                do_cam, do_cam_map, skip_cam_map,
+                (st, pool, update_idx, failed),
+            )
+
         st, pool = constrain(st, pool)
 
         c_pos, _ = pe.centroid(st.particles, q,
                                wrap_safe=cfg.wrap_safe_centroid)
         out = StreamingState(
             filter=st, pool=pool, ud_pos=ud_pos, ud_q=ud_q,
-            map_pos=map_pos, map_q=map_q, update_idx=update_idx,
-            alloc_failed=failed,
+            map_pos=map_pos, map_q=map_q, cam_pos=cam_pos, cam_q=cam_q,
+            update_idx=update_idx, alloc_failed=failed,
         )
         aux = {"centroid": c_pos, "updated": do_update, "mapped": do_map}
+        if camera2body is not None:
+            aux["cam_mapped"] = do_cam
         return out, aux
 
     return step
 
 
 def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
-                          match=None, update=True, mesh=None):
+                          match=None, update=True, mesh=None,
+                          camera2body=None, camera_intrinsics=None):
     """Roll a whole frame stream through the fused SLAM step on device.
 
     ``run(carry, frames) -> (carry, aux)`` — ``frames`` is the per-frame
@@ -254,7 +338,9 @@ def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
     dispatch per trajectory; all gating happens on device.
     """
     step = make_slam_step(cfg, laser2body=laser2body, hash_=hash_,
-                          match=match, update=update, mesh=mesh)
+                          match=match, update=update, mesh=mesh,
+                          camera2body=camera2body,
+                          camera_intrinsics=camera_intrinsics)
 
     @jax.jit
     def run(carry: StreamingState, frames):
@@ -270,14 +356,17 @@ def stack_frames(frames):
     )
 
 
-def frames_from_log(path):
+def frames_from_log(path, camera=False):
     """Recorded traverse (native log) -> the stacked frame pytree of
     ``make_slam_step``, via the batched C gather path
     (``io.logio.load_stream``): the whole log becomes a handful of
     contiguous host buffers and then device arrays — no per-record
     Python decode.  Requires pose records for the motion gates.
 
-    Returns ``(frames, ts [T])``.
+    Returns ``(frames, ts [T])``.  With ``camera=True`` the frames
+    include the distance-image entries (requires DISTANCE_IMAGE records)
+    and the return is ``(frames, ts, intrinsics)`` — pass ``intrinsics``
+    as ``camera_intrinsics`` to ``make_slam_scan_runner``.
     """
     import numpy as np
 
@@ -318,4 +407,13 @@ def frames_from_log(path):
         meta,
         jnp.asarray(s["has_scan"]),
     )
-    return frames, np.asarray(s["ts"])
+    if not camera:
+        return frames, np.asarray(s["ts"])
+    if s["dimg"] is None:
+        raise ValueError(
+            f"camera=True but {path} has no DISTANCE_IMAGE records"
+        )
+    frames = frames + (
+        jnp.asarray(s["dimg"]), jnp.asarray(s["has_dimg"])
+    )
+    return frames, np.asarray(s["ts"]), s["dimg_meta"]

@@ -328,7 +328,9 @@ def load_stream(path):
 
     Returns a dict with ``contact`` (structured [T, C]), ``orientation``
     [T, 4], ``pose`` [T, 7] or None, ``scan_ranges`` [T, R],
-    ``scan_meta`` (start, resolution), ``has_scan`` [T], ``ts`` [T].
+    ``scan_meta`` (start, resolution), ``has_scan`` [T], ``dimg``
+    [T, H, W] or None, ``dimg_meta`` (scale_x, scale_y, center_x,
+    center_y), ``has_dimg`` [T], ``ts`` [T].
     """
     with LogReader(path) as r:
         cidx, cts = r.select(CONTACT_STATE)
@@ -421,6 +423,49 @@ def load_stream(path):
             scan_ranges[fi] = ranges
             has_scan[fi] = True
 
+        didx, dts = r.select(DISTANCE_IMAGE)
+        dimg = None
+        dimg_meta = None
+        has_dimg = np.zeros((t,), bool)
+        if didx.size:
+            _, _, dbuf = r.get(int(didx[0]))
+            h, w = (int(v) for v in np.frombuffer(bytes(dbuf[:8]),
+                                                  np.uint32))
+            dims = np.frombuffer(
+                r.gather(didx, 8).tobytes(), np.uint32
+            ).reshape(-1, 2)
+            if not ((dims[:, 0] == h) & (dims[:, 1] == w)).all():
+                bad = int(np.nonzero(
+                    (dims[:, 0] != h) | (dims[:, 1] != w)
+                )[0][0])
+                raise ValueError(
+                    f"distance image {bad} is {tuple(dims[bad])}, "
+                    f"expected {(h, w)} (fixed-shape streams need one "
+                    "image geometry)"
+                )
+            drec = 24 + 4 * h * w
+            draw = r.gather(didx, drec)
+            intr = np.frombuffer(draw[:, 8:24].tobytes(),
+                                 np.float32).reshape(-1, 4)
+            dimg_meta = tuple(float(v) for v in intr[0])
+            imgs = np.frombuffer(
+                draw[:, 24:].tobytes(), np.float32
+            ).reshape(-1, h, w)
+            dimg = np.zeros((t, h, w), np.float32)
+            fi = np.clip(
+                np.searchsorted(cts, dts, side="right") - 1, 0, t - 1
+            )
+            if np.unique(fi).size != fi.size:
+                import warnings
+
+                warnings.warn(
+                    "multiple distance images map to the same contact "
+                    "frame; earlier ones are dropped (last-writer-wins)",
+                    stacklevel=2,
+                )
+            dimg[fi] = imgs
+            has_dimg[fi] = True
+
     return {
         "contact": contact,
         "orientation": orientation,
@@ -428,6 +473,9 @@ def load_stream(path):
         "scan_ranges": scan_ranges,
         "scan_meta": scan_meta,
         "has_scan": has_scan,
+        "dimg": dimg,
+        "dimg_meta": dimg_meta,
+        "has_dimg": has_dimg,
         "ts": cts,
     }
 

@@ -52,37 +52,47 @@ def _data_fields(pool):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=_FIELDS + ["color", "origin", "allocated", "chain"],
-    meta_fields=["resolution"],
+    meta_fields=["resolution", "nx", "ny", "k"],
 )
 @dataclasses.dataclass
 class MapPool:
-    mean: jax.Array        # [B, nx, ny, K] float32
+    """Patch fields are stored as 2-D block images ``[B, nx, ny*K]``
+    (colour ``[B, nx, ny*K*3]``): cell ``(ix, iy)`` slot ``s`` sits at
+    ``[b, ix, iy*K + s]``.  Rationale (measured):
+
+    * a rank-4 ``[B, nx, ny, K]`` layout puts K=4 on the lane axis,
+      which the (8, 128) TPU tiling pads 32x — every pool-sized op
+      paid 32x HBM;
+    * ``[nx, ny*K]`` is exactly the VMEM operand shape of the Pallas
+      block-merge kernel (x on sublanes, y*K+s on lanes), so per-block
+      DMA needs no relayout;
+    * flag fields (``valid``/``horizontal``) are int32, not bool — the
+      Mosaic toolchain here handles 32-bit blocks; 0 = false.
+    """
+
+    mean: jax.Array        # [B, nx, ny*K] float32
     stdev: jax.Array
     height: jax.Array
-    valid: jax.Array       # [B, nx, ny, K] bool
-    horizontal: jax.Array
+    valid: jax.Array       # [B, nx, ny*K] int32 (0/1)
+    horizontal: jax.Array  # int32 (0/1)
     update_idx: jax.Array  # int32
-    color: jax.Array | None  # [B, nx, ny, K, 3] float32, or None
+    color: jax.Array | None  # [B, nx, ny*K*3] float32, or None
     origin: jax.Array      # [B, 2] float32 — world xy of block cell (0,0)
     allocated: jax.Array   # [B] bool
     chain: jax.Array       # [N, L] int32 block ids, head = active; -1 empty
     resolution: float
+    nx: int
+    ny: int
+    k: int
 
     @property
     def b(self):
         return self.mean.shape[0]
 
     @property
-    def nx(self):
-        return self.mean.shape[1]
-
-    @property
-    def ny(self):
-        return self.mean.shape[2]
-
-    @property
-    def k(self):
-        return self.mean.shape[3]
+    def s(self):
+        """Flat patch-slot count per block (nx*ny*K)."""
+        return self.mean.shape[1] * self.mean.shape[2]
 
     @property
     def n(self):
@@ -95,9 +105,15 @@ class MapPool:
     def active(self):
         return self.chain[:, 0]
 
+    def field_grid(self, name):
+        """Host/viz convenience: field as ``[B, nx, ny, K(, 3)]``."""
+        a = getattr(self, name)
+        trail = (3,) if name == "color" else ()
+        return a.reshape(self.b, self.nx, self.ny, self.k, *trail)
+
     @staticmethod
     def from_template(template: MLSGrid, n_particles, num_blocks,
-                      chain_len=4, with_color=True):
+                      chain_len=4, with_color=True, shards=1):
         """Every particle starts with its own copy of the template grid
         (per-particle mode ``setEnvironment`` + immediate ``cloneMaps``,
         ``PoseEstimator.cpp:47-62``; seeding from a prebuilt environment
@@ -105,30 +121,47 @@ class MapPool:
 
         ``with_color=False`` drops patch colours (1.5x less patch
         memory/merge traffic; slip/terrain fusion and textures then only
-        work in shared-map mode)."""
+        work in shared-map mode).  ``shards``: particle i's initial
+        block lives in block range ``i * shards // N`` so a
+        block-sharded pool starts fully co-located
+        (``Config.map_pool_shards``)."""
         b = num_blocks
         assert b >= n_particles, "pool must hold one block per particle"
+        if shards <= 1:
+            assign = jnp.arange(n_particles, dtype=jnp.int32)
+        else:
+            assert n_particles % shards == 0 and b % shards == 0, (
+                f"shards={shards} must divide particles ({n_particles}) "
+                f"and blocks ({b})"
+            )
+            nl, bl = n_particles // shards, b // shards
+            i = jnp.arange(n_particles, dtype=jnp.int32)
+            assign = (i // nl) * bl + (i % nl)
+
+        nx, ny, k = template.nx, template.ny, template.k
 
         def tile(x, fill=0):
+            x = x.reshape(nx, -1)
             out = jnp.full((b,) + x.shape, fill, x.dtype)
-            return out.at[:n_particles].set(
+            return out.at[assign].set(
                 jnp.broadcast_to(x, (n_particles,) + x.shape)
             )
 
         chain = jnp.full((n_particles, chain_len), -1, jnp.int32)
-        chain = chain.at[:, 0].set(jnp.arange(n_particles, dtype=jnp.int32))
+        chain = chain.at[:, 0].set(assign)
         return MapPool(
             mean=tile(template.mean),
             stdev=tile(template.stdev),
             height=tile(template.height),
-            valid=tile(template.valid, False),
-            horizontal=tile(template.horizontal, True),
+            valid=tile(template.valid.astype(jnp.int32)),
+            horizontal=tile(template.horizontal.astype(jnp.int32), 1),
             update_idx=tile(template.update_idx),
             color=tile(template.color) if with_color else None,
             origin=jnp.broadcast_to(template.origin, (b, 2)).copy(),
-            allocated=(jnp.arange(b) < n_particles),
+            allocated=jnp.zeros((b,), bool).at[assign].set(True),
             chain=chain,
             resolution=template.resolution,
+            nx=template.nx, ny=template.ny, k=template.k,
         )
 
     def refcounts(self):
@@ -178,25 +211,50 @@ def _copy_blocks(pool: MapPool, dst, src, mask):
     return jax.lax.cond(jnp.any(mask), do_copy, lambda p: p, pool)
 
 
-def _allocate(pool: MapPool, want_mask):
+def _allocate(pool: MapPool, want_mask, shards=1):
     """Assign a distinct free block to each particle with ``want_mask``.
 
-    Returns ``(new_block [N] int32 or -1, n_failed)``.
+    ``shards`` splits both the particle and block axes into equal
+    ranges; particle range ``s`` only takes blocks from block range
+    ``s`` (particle/block co-location on a 'dp' mesh — see
+    ``Config.map_pool_shards``).  The result depends only on ``shards``,
+    not on any device topology.  Returns
+    ``(new_block [N] int32 or -1, n_failed)``.
     """
     free = _free_mask(pool)
-    # rank free blocks: free_ids[j] = index of j-th free block
-    order = jnp.argsort(~free)  # frees first, stable
-    n_free = jnp.sum(free)
-    rank = jnp.cumsum(want_mask.astype(jnp.int32)) - 1
-    ok = want_mask & (rank < n_free)
-    new_block = jnp.where(
-        ok, order[jnp.clip(rank, 0, pool.b - 1)], -1
-    ).astype(jnp.int32)
+    n, b = pool.n, pool.b
+    if shards <= 1:
+        # rank free blocks: free_ids[j] = index of j-th free block
+        order = jnp.argsort(~free)  # frees first, stable
+        n_free = jnp.sum(free)
+        rank = jnp.cumsum(want_mask.astype(jnp.int32)) - 1
+        ok = want_mask & (rank < n_free)
+        new_block = jnp.where(
+            ok, order[jnp.clip(rank, 0, b - 1)], -1
+        ).astype(jnp.int32)
+        n_failed = jnp.sum(want_mask) - jnp.sum(ok)
+        return new_block, n_failed
+    assert n % shards == 0 and b % shards == 0, (
+        f"map_pool_shards={shards} must divide particles ({n}) "
+        f"and blocks ({b})"
+    )
+    nl, bl = n // shards, b // shards
+    free_r = free.reshape(shards, bl)
+    want_r = want_mask.reshape(shards, nl)
+    order = jnp.argsort(~free_r, axis=1)          # per-range free list
+    n_free = jnp.sum(free_r, axis=1)              # [S]
+    rank = jnp.cumsum(want_r.astype(jnp.int32), axis=1) - 1
+    ok = want_r & (rank < n_free[:, None])
+    base = (jnp.arange(shards, dtype=jnp.int32) * bl)[:, None]
+    picked = jnp.take_along_axis(
+        order, jnp.clip(rank, 0, bl - 1), axis=1
+    ).astype(jnp.int32) + base
+    new_block = jnp.where(ok, picked, -1).reshape(n)
     n_failed = jnp.sum(want_mask) - jnp.sum(ok)
     return new_block, n_failed
 
 
-def ensure_unique_active(pool: MapPool):
+def ensure_unique_active(pool: MapPool, shards=1):
     """Copy-on-write: give every particle an exclusively-owned head block.
 
     Returns ``(pool, n_failed)`` — ``n_failed`` particles stayed on a
@@ -208,7 +266,7 @@ def ensure_unique_active(pool: MapPool):
     owner = jax.ops.segment_min(idx, active, num_segments=pool.b)
     is_dup = idx != owner[active]
 
-    new_block, n_failed = _allocate(pool, is_dup)
+    new_block, n_failed = _allocate(pool, is_dup, shards=shards)
     do = new_block >= 0
     pool = _copy_blocks(pool, new_block, active, do)
     chain = pool.chain.at[:, 0].set(
@@ -220,7 +278,7 @@ def ensure_unique_active(pool: MapPool):
     return dataclasses.replace(pool, chain=chain, allocated=allocated), n_failed
 
 
-def rollover(pool: MapPool, xy, threshold):
+def rollover(pool: MapPool, xy, threshold, shards=1):
     """Select a fresh active grid for particles that left their current
     one (``MLSMap::selectActiveGrid``; trigger condition
     ``EmbodiedSlamFilter.cpp:195-207``: |offset| beyond
@@ -238,7 +296,7 @@ def rollover(pool: MapPool, xy, threshold):
     off = jnp.abs(xy - center)
     need = (off[:, 0] > threshold) | (off[:, 1] > threshold)
 
-    new_block, n_failed = _allocate(pool, need)
+    new_block, n_failed = _allocate(pool, need, shards=shards)
     do = new_block >= 0
 
     def do_roll(pool):
@@ -246,7 +304,7 @@ def rollover(pool: MapPool, xy, threshold):
         d = jnp.where(do, new_block, pool.b)
         pool = dataclasses.replace(
             pool,
-            valid=pool.valid.at[d].set(False, mode="drop"),
+            valid=pool.valid.at[d].set(0, mode="drop"),
             update_idx=pool.update_idx.at[d].set(0, mode="drop"),
             origin=pool.origin.at[d].set(
                 xy - jnp.array([size_x / 2.0, size_y / 2.0], xy.dtype),
@@ -308,9 +366,12 @@ def _block_get_patch(pool: MapPool, b, points, z_window, with_color=False):
     inb = (ix >= 0) & (ix < pool.nx) & (iy >= 0) & (iy < pool.ny)
     cix = jnp.where(inb, ix, 0)
     ciy = jnp.where(inb, iy, 0)
-    means = pool.mean[b, cix, ciy]     # [..., K]
-    stdevs = pool.stdev[b, cix, ciy]
-    valids = pool.valid[b, cix, ciy]
+    # lane indices of the cell's K patch slots in the [nx, ny*K] image
+    idx = ciy[..., None] * pool.k + jnp.arange(pool.k, dtype=jnp.int32)
+    cx = cix[..., None]
+    means = pool.mean[b][cx, idx]      # [..., K]
+    stdevs = pool.stdev[b][cx, idx]
+    valids = pool.valid[b][cx, idx] != 0
     z = points[..., 2:3]
     dist = jnp.abs(means - z)
     cand = valids & (dist <= z_window)
@@ -320,7 +381,8 @@ def _block_get_patch(pool: MapPool, b, points, z_window, with_color=False):
     take = partial(jnp.take_along_axis, indices=best[..., None], axis=-1)
     color = None
     if with_color and pool.color is not None:
-        colors = pool.color[b, cix, ciy]  # [..., K, 3]
+        idx3 = idx[..., None] * 3 + jnp.arange(3, dtype=jnp.int32)
+        colors = pool.color[b][cx[..., None], idx3]  # [..., K, 3]
         color = jnp.take_along_axis(
             colors, best[..., None, None], axis=-2
         )[..., 0, :]
@@ -329,15 +391,21 @@ def _block_get_patch(pool: MapPool, b, points, z_window, with_color=False):
 
 def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
                     cloud: PatchCloud, update_idx,
-                    patch_thickness=0.1, gap_size=1.5):
+                    patch_thickness=0.1, gap_size=1.5, kernel="auto"):
     """Merge one scan cloud into every particle's active grid at once.
 
     The fused equivalent of the reference's per-particle
     ``pgrid->merge(scanMap, C_s2p, offsetPatch)`` loop
     (``EmbodiedSlamFilter.cpp:222-227``): transforms the cloud by each
-    particle pose, offsets by its (zPos, zSigma), and scatter-fuses all
-    N x P patches into the flattened pool in one pass.  Requires unique
-    active blocks (call ``ensure_unique_active`` first).
+    particle pose, offsets by its (zPos, zSigma), and fuses all N x P
+    patches into the pool in one pass.  Requires unique active blocks
+    (call ``ensure_unique_active`` first).
+
+    ``kernel``: ``'pallas'`` = the per-block streaming Pallas kernel
+    (``ops.pallas_merge`` — measured ~40x less HBM work than the
+    gather/scatter path; colourless pools only); ``'xla'`` = dedup +
+    gather/scatter; ``'auto'`` = pallas on TPU when the pool carries no
+    colour, else xla.
     """
     n, p = pool.n, cloud.p
     c, s = jnp.cos(yaw), jnp.sin(yaw)
@@ -355,40 +423,93 @@ def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
     inb = (ix >= 0) & (ix < pool.nx) & (iy >= 0) & (iy < pool.ny)
     mask = inb & cloud.valid[None, :]
 
+    if kernel == "auto":
+        kernel = ("pallas" if pool.color is None
+                  and jax.default_backend() == "tpu" else "xla")
+    if kernel == "pallas":
+        if pool.color is not None:
+            raise ValueError(
+                "the Pallas merge kernel does not carry patch colour; "
+                "use kernel='xla' or map_pool_color=False"
+            )
+        from slam_eslam_tpu.ops import pallas_merge
+
+        w = jnp.where(mask, 1.0 / jnp.maximum(var, 1e-12), 0.0)
+        out = pallas_merge.merge_blocks(
+            pool.mean, pool.stdev, pool.height, pool.valid,
+            pool.horizontal, pool.update_idx,
+            active, jnp.where(mask, ix, pool.nx),
+            jnp.where(mask, iy, pool.ny), w, w * wz,
+            jnp.asarray(update_idx, jnp.int32), k=pool.k,
+            patch_thickness=patch_thickness, gap_size=gap_size,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return dataclasses.replace(
+            pool, mean=out[0], stdev=out[1], height=out[2],
+            valid=out[3], horizontal=out[4], update_idx=out[5],
+        )
+
     # fuse same-cell points row-wise: each particle merges into its own
     # (unique) active block, so cross-particle collisions are impossible
     # and the dedup runs as N independent lane-axis sorts + MXU segment
     # sums instead of one global N*P sort (see _dedup_fuse_rows)
-    bx = pool.b * pool.nx
+    ncells = pool.nx * pool.ny
     lin = (active[:, None] * pool.nx + ix) * pool.ny + iy      # [N, P]
     cf = (
         jnp.broadcast_to(cloud.color[None], (n, p, 3))
         if pool.color is not None else None
     )
     lin_s, z2r, v2r, keepr, fcolor = mls_grid._dedup_fuse_rows(
-        lin, wz, var, mask, sentinel=bx * pool.ny, color=cf
+        lin, wz, var, mask, sentinel=pool.b * ncells, color=cf
     )
     flat = lambda a: a.reshape((-1,) + a.shape[2:])
-    gx2 = flat(lin_s // pool.ny)
-    gy2 = flat(lin_s % pool.ny)
+    lin2 = flat(lin_s)                                          # [N*P]
     z2, v2, keep = flat(z2r), flat(v2r), flat(keepr)
     fcolor = None if fcolor is None else flat(fcolor)
-    fields = _data_fields(pool)
 
-    def flat_pool(a):
-        return a.reshape((bx, pool.ny, pool.k) + a.shape[4:])
-
-    arrays = {f: flat_pool(getattr(pool, f)) for f in fields}
-    out = mls_grid.scatter_fuse_cells(
-        arrays, gx2, gy2, z2, v2, keep, update_idx,
-        patch_thickness=patch_thickness, gap_size=gap_size, x_oob=bx,
-        color=fcolor,
+    # gather each surviving entry's K slot rows from the block images,
+    # fuse, and scatter back (block OOB drops the dedup losers)
+    blk = lin2 // ncells
+    cell = lin2 - blk * ncells
+    cx = (cell // pool.ny)[:, None]                             # [M, 1]
+    idx = (cell % pool.ny)[:, None] * pool.k + jnp.arange(
+        pool.k, dtype=jnp.int32
+    )                                                           # [M, K]
+    gblk = jnp.where(keep, blk, 0)[:, None]
+    g = lambda a: a[gblk, cx, idx]                              # [M, K]
+    means, stdevs, heights, valids, horiz, uidx, upd = (
+        mls_grid.fuse_slot_rows(
+            g(pool.mean), g(pool.stdev), g(pool.height),
+            g(pool.valid) != 0, g(pool.horizontal) != 0,
+            g(pool.update_idx),
+            z2, v2, keep, update_idx,
+            patch_thickness=patch_thickness, gap_size=gap_size,
+        )
     )
-    shape = (pool.b, pool.nx, pool.ny, pool.k)
-    return dataclasses.replace(
-        pool,
-        **{f: out[f].reshape(shape + out[f].shape[3:]) for f in fields},
+    sblk = jnp.where(keep, blk, pool.b)[:, None]               # OOB -> drop
+    scat = lambda a, val: a.at[sblk, cx, idx].set(
+        val.astype(a.dtype), mode="drop"
     )
+    new = {
+        "mean": scat(pool.mean, means),
+        "stdev": scat(pool.stdev, stdevs),
+        "height": scat(pool.height, heights),
+        "valid": scat(pool.valid, valids),
+        "horizontal": scat(pool.horizontal, horiz),
+        "update_idx": scat(pool.update_idx, uidx),
+    }
+    if pool.color is not None:
+        idx3 = idx[..., None] * 3 + jnp.arange(3, dtype=jnp.int32)
+        cell_colors = pool.color[
+            gblk[..., None], cx[..., None], idx3
+        ]                                                       # [M, K, 3]
+        cell_colors = jnp.where(
+            upd[..., None], fcolor[:, None, :], cell_colors
+        )
+        new["color"] = pool.color.at[
+            sblk[..., None], cx[..., None], idx3
+        ].set(cell_colors, mode="drop")
+    return dataclasses.replace(pool, **new)
 
 
 def match_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,

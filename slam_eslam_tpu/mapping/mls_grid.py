@@ -348,31 +348,22 @@ def _dedup_fuse_rows(lin, z, var, mask, sentinel, color=None):
     return lin_s, fused_z, fused_var, keep, fused_color
 
 
-def scatter_fuse_cells(
-    arrays, ix, iy, z, var, keep, update_idx,
-    patch_thickness=0.1, gap_size=1.5, x_oob=None, color=None,
-):
-    """Fuse one measurement per (unique) cell into K patch slots.
+def fuse_slot_rows(means, stdevs, heights, valids, horiz, uidx,
+                   z, var, keep, update_idx,
+                   patch_thickness=0.1, gap_size=1.5):
+    """Pure MLS patch-slot fusion math: one measurement ``(z, var)``
+    against its cell's ``[P, K]`` slot rows.
 
-    ``arrays`` is the dict of grid SoA fields shaped ``[X, ny, K]``
-    (``X`` may be a flattened block*nx axis — the map pool reuses this
-    core over its whole block pool).  ``(ix, iy)`` must be unique among
-    ``keep`` entries (use ``_dedup_fuse``); dropped entries scatter
-    out-of-bounds (``x_oob``) and are discarded.
+    Implements the envire ``MLSGrid::updateCell`` patch rules the
+    reference relies on (``EmbodiedSlamFilter.cpp:35-36`` thickness/gap
+    semantics): (a) Kalman-fuse with the nearest horizontal patch within
+    ``patch_thickness``; (b) extend the nearest patch vertically within
+    ``gap_size``; (c) insert into a free slot, else evict the
+    highest-uncertainty patch.  Returns the updated slot rows plus the
+    written-slot mask ``upd`` (shared by the rank-3 grid scatter and
+    the flat map-pool scatter).
     """
-    if x_oob is None:
-        x_oob = arrays["mean"].shape[0]
-    k = arrays["mean"].shape[2]
-
-    gix = jnp.where(keep, ix, 0)
-    giy = jnp.where(keep, iy, 0)
-    means = arrays["mean"][gix, giy]          # [P, K]
-    stdevs = arrays["stdev"][gix, giy]
-    heights = arrays["height"][gix, giy]
-    valids = arrays["valid"][gix, giy]
-    horiz = arrays["horizontal"][gix, giy]
-    uidx = arrays["update_idx"][gix, giy]
-
+    k = means.shape[-1]
     zc = z[:, None]
     dist = jnp.abs(means - zc)
 
@@ -427,6 +418,32 @@ def scatter_fuse_cells(
     valids = valids | upd
     horiz = jnp.where(upd, new_horiz[:, None], horiz)
     uidx = jnp.where(upd, jnp.int32(update_idx), uidx)
+    return means, stdevs, heights, valids, horiz, uidx, upd
+
+
+def scatter_fuse_cells(
+    arrays, ix, iy, z, var, keep, update_idx,
+    patch_thickness=0.1, gap_size=1.5, x_oob=None, color=None,
+):
+    """Fuse one measurement per (unique) cell into K patch slots.
+
+    ``arrays`` is the dict of grid SoA fields shaped ``[X, ny, K]``.
+    ``(ix, iy)`` must be unique among ``keep`` entries (use
+    ``_dedup_fuse``); dropped entries scatter out-of-bounds (``x_oob``)
+    and are discarded.
+    """
+    if x_oob is None:
+        x_oob = arrays["mean"].shape[0]
+
+    gix = jnp.where(keep, ix, 0)
+    giy = jnp.where(keep, iy, 0)
+    means, stdevs, heights, valids, horiz, uidx, upd = fuse_slot_rows(
+        arrays["mean"][gix, giy], arrays["stdev"][gix, giy],
+        arrays["height"][gix, giy], arrays["valid"][gix, giy],
+        arrays["horizontal"][gix, giy], arrays["update_idx"][gix, giy],
+        z, var, keep, update_idx,
+        patch_thickness=patch_thickness, gap_size=gap_size,
+    )
 
     # collision-free scatter: surviving entries have unique cells; dropped
     # entries write out-of-bounds and are discarded.

@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: per-particle MLS block merge.
+
+The widest fan-out of the mapping path is merging one scan cloud into
+every particle's active grid (``EmbodiedSlamFilter.cpp:179-232``; our
+fused equivalent ``mapping.map_pool.merge_cloud_all``).  The XLA
+formulation gathers + scatters N*P*K scalars across the block pool —
+measured ~0.5 us/entry on v5e (``tools/bench_pool_ops.py``), ~130 ms
+per mapping frame at 4096 particles, 40x above the pool-copy floor.
+
+This kernel re-shapes the problem from random access to streaming:
+
+* grid = one step per particle; the particle's ACTIVE block
+  (``[nx, ny*K]``, ~26 KB/field) is DMA'd HBM->VMEM by the Pallas
+  pipeline using a **scalar-prefetched block id** as the index map
+  (``PrefetchScalarGridSpec``) and written back in place
+  (``input_output_aliases``) — traffic = touched blocks only,
+* the P scan points accumulate into per-cell inverse-variance sums
+  with two tiny **MXU one-hot matmuls** (no scatter at all):
+  ``acc[x, y] = (OX * w) @ OY^T``,
+* cell sums expand to patch-slot lanes with a constant selector
+  matmul, and the envire slot rules (fuse within thickness / extend
+  within gap / insert-or-evict — ``mls_grid.fuse_slot_rows``) run
+  vectorised on the whole block with masked lane-group reductions.
+
+Requires unique active blocks (``ensure_unique_active`` first) so the
+per-particle grid steps write disjoint blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 3.0e38
+
+
+def _group_min(x, k, lane):
+    """Min over each K-adjacent-lane group, broadcast back to all lanes
+    of the group.  ``lane`` = slot-id iota (lane % K)."""
+    out = x
+    n = x.shape[-1]
+    for s in range(1, k):
+        fwd = pltpu.roll(x, shift=s, axis=1)        # lane l <- x[l+s]
+        bwd = pltpu.roll(x, shift=n - s, axis=1)    # lane l <- x[l-s]
+        out = jnp.minimum(out, jnp.where(lane + s < k, fwd, _BIG))
+        out = jnp.minimum(out, jnp.where(lane - s >= 0, bwd, _BIG))
+    return out
+
+
+def _group_sum(x, k, lane):
+    out = x
+    n = x.shape[-1]
+    for s in range(1, k):
+        fwd = pltpu.roll(x, shift=s, axis=1)
+        bwd = pltpu.roll(x, shift=n - s, axis=1)
+        out = out + jnp.where(lane + s < k, fwd, 0.0)
+        out = out + jnp.where(lane - s >= 0, bwd, 0.0)
+    return out
+
+
+def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
+                  mean_in, stdev_in, height_in, valid_in, horiz_in,
+                  uidx_in, mean_out, stdev_out, height_out, valid_out,
+                  horiz_out, uidx_out, *, nx, ny, k,
+                  patch_thickness, gap_size):
+    del blk_ref  # consumed by the index maps
+    update_idx = par_ref[0]
+    nyk = ny * k
+
+    # ---- accumulate the P points into per-cell (w, w*z) sums --------
+    lx = lx_ref[0]                                   # [1, P] int32
+    w = w_ref[0]                                     # [1, P] f32
+    wz = wz_ref[0]
+    p = lx.shape[-1]
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (nx, p), 0)
+    ox = (jnp.broadcast_to(lx, (nx, p)) == iota_x).astype(jnp.float32)
+    oxw = ox * jnp.broadcast_to(w, (nx, p))
+    oxwz = ox * jnp.broadcast_to(wz, (nx, p))
+
+    ly = lyt_ref[0]                                  # [P, 1] int32
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (p, ny), 1)
+    oyt = (jnp.broadcast_to(ly, (p, ny)) == iota_y).astype(jnp.float32)
+
+    acc_w = jnp.dot(oxw, oyt, preferred_element_type=jnp.float32)
+    acc_wz = jnp.dot(oxwz, oyt, preferred_element_type=jnp.float32)
+
+    has_c = (acc_w > 0.0).astype(jnp.float32)        # [nx, ny]
+    z_c = acc_wz / jnp.maximum(acc_w, 1e-30)
+    var_c = 1.0 / jnp.maximum(acc_w, 1e-30)
+
+    # ---- expand per-cell values to the K slot lanes ------------------
+    col = jax.lax.broadcasted_iota(jnp.int32, (ny, nyk), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (ny, nyk), 0)
+    expand = (col // k == row).astype(jnp.float32)   # [ny, ny*K]
+    z = jnp.dot(z_c, expand, preferred_element_type=jnp.float32)
+    var = jnp.dot(var_c, expand, preferred_element_type=jnp.float32)
+    has = jnp.dot(has_c, expand,
+                  preferred_element_type=jnp.float32) > 0.5
+
+    # ---- envire slot rules on the whole block (fuse_slot_rows) ------
+    mean = mean_in[0]                                # [nx, ny*K]
+    stdev = stdev_in[0]
+    height = height_in[0]
+    valid = valid_in[0] != 0
+    horiz = horiz_in[0] != 0
+    uidx = uidx_in[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nx, nyk), 1) % k
+
+    dist = jnp.abs(mean - z)
+    # (a) Kalman fusion with nearest horizontal patch within thickness
+    fuse_cand = valid & horiz & (dist <= patch_thickness)
+    fdist = jnp.where(fuse_cand, dist, _BIG)
+    gmin_f = _group_min(fdist, k, lane)
+    can_fuse = gmin_f < _BIG / 2
+    fslot = _group_min(
+        jnp.where(fuse_cand & (fdist <= gmin_f),
+                  lane.astype(jnp.float32), float(k)), k, lane
+    )
+    # (b) vertical extension within gap
+    gap_cand = valid & (dist <= gap_size)
+    gdist = jnp.where(gap_cand, dist, _BIG)
+    gmin_g = _group_min(gdist, k, lane)
+    can_gap = (gmin_g < _BIG / 2) & ~can_fuse
+    gslot = _group_min(
+        jnp.where(gap_cand & (gdist <= gmin_g),
+                  lane.astype(jnp.float32), float(k)), k, lane
+    )
+    # (c) insertion: first free slot, else evict max-stdev patch
+    free_slot = _group_min(
+        jnp.where(~valid, lane.astype(jnp.float32), float(k)), k, lane
+    )
+    has_free = free_slot < k
+    neg_std = jnp.where(valid, -stdev, _BIG)
+    gmin_ns = _group_min(neg_std, k, lane)
+    eslot = _group_min(
+        jnp.where(valid & (neg_std <= gmin_ns),
+                  lane.astype(jnp.float32), float(k)), k, lane
+    )
+    ins_slot = jnp.where(has_free, free_slot, eslot)
+
+    slot = jnp.where(can_fuse, fslot, jnp.where(can_gap, gslot, ins_slot))
+    chosen = (lane.astype(jnp.float32) == slot) & has
+
+    sel = lambda v: _group_sum(jnp.where(chosen, v, 0.0), k, lane)
+    m0, s0, h0 = sel(mean), sel(stdev), sel(height)
+
+    w1 = 1.0 / jnp.maximum(s0 * s0, 1e-12)
+    w2 = 1.0 / jnp.maximum(var, 1e-12)
+    fuse_mean = (m0 * w1 + z * w2) / (w1 + w2)
+    fuse_stdev = jax.lax.sqrt(1.0 / (w1 + w2))
+    top = jnp.maximum(m0, z)
+    bottom = jnp.minimum(m0 - h0, z)
+    sq_var = jax.lax.sqrt(var)
+    new_mean = jnp.where(can_fuse, fuse_mean,
+                         jnp.where(can_gap, top, z))
+    new_stdev = jnp.where(
+        can_fuse, fuse_stdev,
+        jnp.where(can_gap, jnp.minimum(s0, sq_var), sq_var),
+    )
+    new_height = jnp.where(can_fuse, h0,
+                           jnp.where(can_gap, top - bottom, 0.0))
+    new_horiz = jnp.where(can_fuse | ~can_gap, 1, 0)
+
+    upd = chosen
+    updi = upd.astype(jnp.int32)
+    mean_out[0] = jnp.where(upd, new_mean, mean)
+    stdev_out[0] = jnp.where(upd, new_stdev, stdev)
+    height_out[0] = jnp.where(upd, new_height, height)
+    valid_out[0] = jnp.maximum(valid_in[0], updi)
+    horiz_out[0] = jnp.where(upd, new_horiz, horiz_in[0])
+    uidx_out[0] = jnp.where(upd, update_idx, uidx)
+
+
+def merge_blocks(mean, stdev, height, valid, horiz, uidx, blk,
+                 lx, ly, w, wz, update_idx, *, k,
+                 patch_thickness=0.1, gap_size=1.5, interpret=False):
+    """Merge per-particle accumulated measurements into active blocks.
+
+    ``mean..uidx``: pool fields ``[B, nx, ny*K]`` (flags/update int32).
+    ``blk [N]``: each particle's (unique) active block id.
+    ``lx, ly [N, P]`` int32 cell coords local to the block (out-of-range
+    = masked), ``w, wz [N, P]`` inverse-variance weights / weighted z.
+    ``k``: patch slots per cell.  ``update_idx``: int32 scalar stamp.
+    Returns the six updated fields; the inputs are donated (in-place on
+    TPU).
+    """
+    b, nx, nyk = mean.shape
+    n, p = lx.shape
+    ny = nyk // k
+
+    lx3 = jnp.where((lx >= 0) & (lx < nx), lx, nx)[:, None, :]
+    ly3 = jnp.where((ly >= 0) & (ly < ny), ly, ny)[:, :, None]
+    w3 = w[:, None, :].astype(jnp.float32)
+    wz3 = wz[:, None, :].astype(jnp.float32)
+    params = jnp.asarray([update_idx], jnp.int32)
+
+    field_spec = pl.BlockSpec(
+        (1, nx, nyk), lambda i, blk, par: (blk[i], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    pt_spec = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i, blk, par: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[
+            pt_spec((1, p)),            # lx
+            pl.BlockSpec((1, p, 1), lambda i, blk, par: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # ly (transposed)
+            pt_spec((1, p)),            # w
+            pt_spec((1, p)),            # wz
+            field_spec, field_spec, field_spec,   # mean, stdev, height
+            field_spec, field_spec, field_spec,   # valid, horiz, uidx
+        ],
+        out_specs=[field_spec] * 6,
+    )
+    shapes = [jax.ShapeDtypeStruct(mean.shape, jnp.float32)] * 3 + [
+        jax.ShapeDtypeStruct(mean.shape, jnp.int32)
+    ] * 3
+    out = pl.pallas_call(
+        functools.partial(
+            _merge_kernel, nx=nx, ny=ny, k=k,
+            patch_thickness=patch_thickness, gap_size=gap_size,
+        ),
+        grid_spec=grid_spec,
+        out_shape=shapes,
+        # pool fields update in place: input operand order is
+        # (2 scalar-prefetch) + (4 point arrays) + 6 fields -> inputs
+        # 6..11 alias outputs 0..5
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4, 11: 5},
+        interpret=interpret,
+    )(blk.astype(jnp.int32), params, lx3, ly3, w3, wz3,
+      mean, stdev, height, valid, horiz, uidx)
+    return out

@@ -74,3 +74,42 @@ def shard_state(state, mesh):
         if f.name != "particles"
     }
     return dataclasses.replace(state, particles=particles, **rest)
+
+
+# pool fields whose leading axis is the BLOCK axis (sharded over 'dp';
+# with Config.map_pool_shards == mesh size, allocation keeps each
+# particle's blocks on its own device)
+_POOL_BLOCK_FIELDS = (
+    "mean", "stdev", "height", "valid", "horizontal", "update_idx",
+    "color", "origin", "allocated",
+)
+
+
+def _pool_placements(pool, mesh, put):
+    import dataclasses as dc
+
+    s = particle_sharding(mesh)  # P('dp') on the leading axis
+    new = {"chain": put(pool.chain, s)}
+    for f in _POOL_BLOCK_FIELDS:
+        a = getattr(pool, f)
+        if a is not None:
+            new[f] = put(a, s)
+    return dc.replace(pool, **new)
+
+
+def shard_pool(pool, mesh):
+    """Place a MapPool on the mesh: chain rows follow their particles,
+    block arrays shard along the block axis (map memory per device
+    scales down with the mesh)."""
+    if mesh is None:
+        return pool
+    return _pool_placements(pool, mesh, jax.device_put)
+
+
+def constrain_pool(pool, mesh):
+    """In-jit sharding constraints matching :func:`shard_pool`."""
+    if mesh is None:
+        return pool
+    return _pool_placements(
+        pool, mesh, jax.lax.with_sharding_constraint
+    )

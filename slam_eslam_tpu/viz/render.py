@@ -104,8 +104,9 @@ def draw_particle_map(pool, particle_index, ax=None, cmap="terrain"):
         b = chain[level]
         if b < 0:
             continue
-        mean = np.asarray(pool.mean[b])
-        valid = np.asarray(pool.valid[b])
+        shape = (pool.nx, pool.ny, pool.k)
+        mean = np.asarray(pool.mean[b]).reshape(shape)
+        valid = np.asarray(pool.valid[b]).reshape(shape)
         z = np.where(valid, mean, -np.inf).max(axis=-1)
         z = np.where(np.isfinite(z), z, np.nan)
         origin = np.asarray(pool.origin[b])

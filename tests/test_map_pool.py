@@ -11,20 +11,23 @@ from slam_eslam_tpu.mapping import mls_grid
 from slam_eslam_tpu.mapping.mls_grid import MLSGrid, PatchCloud
 
 
-def make_pool(n=4, b=10, nx=20, ny=20, res=0.5, chain_len=3):
+def make_pool(n=4, b=10, nx=20, ny=20, res=0.5, chain_len=3,
+              with_color=True):
     template = MLSGrid.create(nx, ny, res, (-5.0, -5.0), k=2)
-    return mp.MapPool.from_template(template, n, b, chain_len)
+    return mp.MapPool.from_template(template, n, b, chain_len,
+                                    with_color=with_color)
 
 
 def write_cell(pool, block, x, y, z):
     """Directly poke one patch into a block (test helper)."""
     ix = int((x - float(pool.origin[block, 0])) / pool.resolution)
     iy = int((y - float(pool.origin[block, 1])) / pool.resolution)
+    lane = iy * pool.k  # slot 0 of the cell in the [nx, ny*K] image
     return dataclasses.replace(
         pool,
-        mean=pool.mean.at[block, ix, iy, 0].set(z),
-        stdev=pool.stdev.at[block, ix, iy, 0].set(0.1),
-        valid=pool.valid.at[block, ix, iy, 0].set(True),
+        mean=pool.mean.at[block, ix, lane].set(z),
+        stdev=pool.stdev.at[block, ix, lane].set(0.1),
+        valid=pool.valid.at[block, ix, lane].set(1),
     )
 
 
@@ -182,6 +185,77 @@ class TestFusedMergeMatch:
             jnp.zeros(4), cloud, 42,
         )
         assert int(jnp.max(pool.update_idx)) == 42
+
+    def test_pallas_merge_matches_xla(self):
+        """The per-block streaming Pallas merge kernel (interpret mode
+        on CPU) must reproduce the dedup + gather/scatter XLA path —
+        same slot decisions, same fused values, untouched blocks kept."""
+        pool = make_pool(n=4, b=10, with_color=False)
+        # pre-populate some patches so fuse/gap/insert all trigger
+        pool = write_cell(pool, 0, 0.1, 0.1, 1.02)   # fuses (|dz|<=0.1)
+        pool = write_cell(pool, 1, -0.9, 0.4, 1.9)   # gap-extends
+        cloud = self._cloud(n=48, z=1.0)
+        xy = jnp.zeros((4, 2))
+        yaw = jnp.array([0.0, 0.3, -0.2, 1.0])
+        z_off = jnp.array([0.0, 1.0, 0.0, -0.5])
+        os_ = jnp.array([0.05, 0.0, 0.1, 0.2])
+        args = (pool, xy, yaw, z_off, os_, cloud, 7)
+        px = mp.merge_cloud_all(*args, kernel="xla")
+        pk = mp.merge_cloud_all(*args, kernel="pallas")
+        np.testing.assert_array_equal(
+            np.asarray(px.valid), np.asarray(pk.valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(px.horizontal), np.asarray(pk.horizontal)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(px.update_idx), np.asarray(pk.update_idx)
+        )
+        np.testing.assert_allclose(
+            np.asarray(px.mean), np.asarray(pk.mean), rtol=1e-5,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(px.stdev), np.asarray(pk.stdev), rtol=1e-5,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(px.height), np.asarray(pk.height), rtol=1e-5,
+            atol=1e-6,
+        )
+        # unvisited blocks (4..9) kept their contents bit-for-bit
+        np.testing.assert_array_equal(
+            np.asarray(pk.mean[4:]), np.asarray(pool.mean[4:])
+        )
+
+    def test_pallas_merge_multi_point_cells(self):
+        """Several points landing in one cell must inverse-variance
+        fuse identically in both paths (the kernel's one-hot matmul
+        accumulation vs the XLA sort-dedup)."""
+        pool = make_pool(n=4, b=10, with_color=False)
+        n_pts = 32
+        xy = jnp.tile(jnp.array([[0.3, 0.3], [0.3, 0.8]]), (16, 1))
+        cloud = PatchCloud.create(
+            xy=xy,
+            z=jnp.linspace(0.9, 1.1, n_pts),
+            stdev=jnp.linspace(0.05, 0.3, n_pts),
+            valid=jnp.arange(n_pts) % 5 != 4,
+        )
+        args = (pool, jnp.zeros((4, 2)), jnp.zeros(4), jnp.zeros(4),
+                jnp.zeros(4), cloud, 1)
+        px = mp.merge_cloud_all(*args, kernel="xla")
+        pk = mp.merge_cloud_all(*args, kernel="pallas")
+        np.testing.assert_array_equal(
+            np.asarray(px.valid), np.asarray(pk.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(px.mean), np.asarray(pk.mean), rtol=1e-5,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(px.stdev), np.asarray(pk.stdev), rtol=1e-5,
+            atol=1e-6,
+        )
 
     def test_jit_merge(self):
         pool = make_pool()

@@ -89,7 +89,7 @@ def _circle_graph(dim, m=16, seed=0):
     import dataclasses
 
     rng = np.random.default_rng(seed)
-    g = pgr.PoseGraph.empty(m, 64, dim=dim)
+    g = pgr.PoseGraph.empty(m, max(64, m + 8), dim=dim)
     th = np.linspace(0, 2 * np.pi, m, endpoint=False)
     cols = [np.cos(th), np.sin(th)]
     if dim == 4:
@@ -163,6 +163,57 @@ class TestSolverVariants:
         )(g)
         assert _pose_err(gs.nodes, gt) < 1e-3
         assert _pose_err(gs.nodes, gc.nodes) < 1e-5
+
+    @pytest.mark.parametrize("dim", [3, 4])
+    def test_schur_matches_dense(self, dim):
+        """Schur trajectory partitioning (4 segments, boundary
+        elimination) must reproduce the dense solve on a loopy graph."""
+        g, gt = _circle_graph(dim)
+        gd, _ = jax.jit(lambda g: pgr.optimize(g, 15))(g)
+        gs, hist = jax.jit(
+            lambda g: pgr.optimize_schur(
+                g, 15, segments=4, boundary_cap=16
+            )
+        )(g)
+        assert _pose_err(gs.nodes, gt) < 1e-3
+        assert _pose_err(gs.nodes, gd.nodes) < 1e-3
+        assert float(hist[-1]) < 1e-5
+
+    def test_schur_1k_nodes_matches_dense(self):
+        """BASELINE stretch shape: a 1024-node trajectory with loop
+        closures, 8-way node-axis partition; the partitioned solve must
+        match the dense solution."""
+        g, gt = _circle_graph(3, m=1024, seed=2)
+        gd, _ = jax.jit(lambda g: pgr.optimize(g, 10))(g)
+        gs, _ = jax.jit(
+            lambda g: pgr.optimize_schur(
+                g, 10, segments=8, boundary_cap=32
+            )
+        )(g)
+        assert _pose_err(gs.nodes, gt) < 5e-3
+        assert _pose_err(gs.nodes, gd.nodes) < 1e-3
+
+    @pytest.mark.skipif(len(jax.devices()) < 8,
+                        reason="needs 8 (virtual) devices")
+    def test_schur_sharded_matches_local(self):
+        """Node-axis mesh distribution: segments shard over 'dp',
+        boundary system psum-reduced — equal to the local Schur solve."""
+        from slam_eslam_tpu.parallel import sharding as shd
+
+        g, gt = _circle_graph(3, m=256, seed=3)
+        mesh = shd.make_mesh(8)
+        gl, _ = jax.jit(
+            lambda g: pgr.optimize_schur(
+                g, 12, segments=8, boundary_cap=32
+            )
+        )(g)
+        gs, _ = jax.jit(
+            lambda g: pgr.optimize_schur(
+                g, 12, segments=8, boundary_cap=32, mesh=mesh
+            )
+        )(g)
+        assert _pose_err(gs.nodes, gt) < 2e-3
+        assert _pose_err(gs.nodes, gl.nodes) < 1e-5
 
     @pytest.mark.parametrize("kind", ["huber", "dcs"])
     def test_robust_kernel_rejects_outlier_closure(self, kind):

@@ -122,6 +122,154 @@ class TestStreamingSlam:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_camera_matches_host_driver(self):
+        """Mixed laser + distance-image frames: the fused camera branch
+        (gating, projection, always-merge semantics,
+        EmbodiedSlamFilter.cpp:239-309) must reproduce the host driver's
+        update_distance_image path."""
+        cfg = _cfg()
+        h, w = 6, 8
+        intr = (0.1, 0.1, -0.35, -0.25)
+        cb = (np.eye(3), np.array([0.1, 0.0, 0.2]))
+        lb = (np.eye(3), np.zeros(3))
+
+        def dimg_at(i):
+            rng = np.random.default_rng(100 + i)
+            return (2.0 + 0.1 * rng.standard_normal((h, w))).astype(
+                np.float32
+            )
+
+        f = EmbodiedSlamFilter(config=cfg)
+        sim = AsguardSim(terrain=terrain)
+        f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+               use_shared_map=False)
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        frames = []
+        stats = {"updated": 0, "mapped": 0, "cam": 0}
+
+        def sub(s):
+            cs = s.contact_state()
+            if f.update_contact((q, s.position.astype(np.float64)), cs):
+                stats["updated"] += 1
+            frames.append([
+                cs, jnp.asarray(q), jnp.asarray(s.position, jnp.float32),
+                jnp.full((N_RAYS,), 2.0, jnp.float32), SCAN_META,
+                jnp.asarray(False),
+                jnp.zeros((h, w), jnp.float32), jnp.asarray(False),
+            ])
+
+        for i in range(6):
+            sim.step(wheel_delta=0.3, on_substep=sub)
+            if f.update_scan((q, sim.position.astype(np.float64)),
+                             _scan(), lb):
+                stats["mapped"] += 1
+            frames[-1][5] = jnp.asarray(True)
+            d = dimg_at(i)
+            img = proj.DistanceImage(
+                data=jnp.asarray(d),
+                scale_x=jnp.asarray(intr[0], jnp.float32),
+                scale_y=jnp.asarray(intr[1], jnp.float32),
+                center_x=jnp.asarray(intr[2], jnp.float32),
+                center_y=jnp.asarray(intr[3], jnp.float32),
+            )
+            if f.update_distance_image(
+                (q, sim.position.astype(np.float64)), img, cb
+            ):
+                stats["cam"] += 1
+            frames[-1][6] = jnp.asarray(d)
+            frames[-1][7] = jnp.asarray(True)
+        assert stats["cam"] > 0, "camera gate never fired in the fixture"
+
+        f2 = EmbodiedSlamFilter(config=cfg)
+        sim2 = AsguardSim(terrain=terrain)
+        f2.init(pose=(np.array([0.0, 0.0, sim2.position[2]]), 0.0),
+                use_shared_map=False)
+        carry = streaming.StreamingState.create(f2.state, f2.pool)
+        run = streaming.make_slam_scan_runner(
+            cfg, laser2body=lb, camera2body=cb, camera_intrinsics=intr
+        )
+        carry, aux = run(carry, streaming.stack_frames(
+            [tuple(fr) for fr in frames]
+        ))
+
+        assert int(np.asarray(aux["updated"]).sum()) == stats["updated"]
+        assert int(np.asarray(aux["mapped"]).sum()) == stats["mapped"]
+        assert int(np.asarray(aux["cam_mapped"]).sum()) == stats["cam"]
+        assert int(carry.update_idx) == f.update_idx
+        np.testing.assert_allclose(
+            np.asarray(carry.filter.particles.weight),
+            np.asarray(f.state.particles.weight),
+            rtol=1e-5, atol=1e-8,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(carry.pool.chain), np.asarray(f.pool.chain)
+        )
+        np.testing.assert_allclose(
+            np.asarray(carry.pool.mean), np.asarray(f.pool.mean),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_camera_frames_from_log(self, tmp_path):
+        """DISTANCE_IMAGE records flow through load_stream into the
+        device-resident runner (camera=True round trip)."""
+        from slam_eslam_tpu.io import logio
+
+        cfg = _cfg(n=16)
+        f = EmbodiedSlamFilter(config=cfg)
+        sim = AsguardSim(terrain=terrain)
+        f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+               use_shared_map=False)
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        h, w = 4, 6
+        intr = (0.1, 0.1, -0.3, -0.2)
+        cb = (np.eye(3), np.zeros(3))
+        path = str(tmp_path / "cam.eslg")
+        frames = []
+
+        with logio.LogWriter(path) as wr:
+            step_i = [0]
+
+            def sub(s):
+                ts = 1000 + step_i[0] * 10
+                step_i[0] += 1
+                cs = s.contact_state()
+                has_img = step_i[0] % 4 == 0
+                d = (2.0 + 0.05 * step_i[0]) * np.ones((h, w), np.float32)
+                wr.write_contact_state(cs, timestamp_ns=ts)
+                wr.write_orientation(q, timestamp_ns=ts)
+                wr.write_pose(s.position, q, timestamp_ns=ts)
+                if has_img:
+                    wr.write_distance_image(d, *intr, timestamp_ns=ts)
+                frames.append((
+                    cs, jnp.asarray(q),
+                    jnp.asarray(s.position, jnp.float32),
+                    jnp.zeros((1,), jnp.float32),
+                    (jnp.asarray(0.0, jnp.float32),
+                     jnp.asarray(1.0, jnp.float32)),
+                    jnp.asarray(False),
+                    jnp.asarray(d), jnp.asarray(has_img),
+                ))
+
+            for _ in range(2):
+                sim.step(wheel_delta=0.3, on_substep=sub)
+
+        log_frames, ts, meta = streaming.frames_from_log(path, camera=True)
+        np.testing.assert_allclose(meta, intr, rtol=1e-6)
+        carry0 = streaming.StreamingState.create(f.state, f.pool)
+        run = streaming.make_slam_scan_runner(
+            cfg, camera2body=cb, camera_intrinsics=intr
+        )
+        c_mem, a_mem = run(carry0, streaming.stack_frames(frames))
+        c_log, a_log = run(carry0, log_frames)
+        np.testing.assert_array_equal(
+            np.asarray(a_mem["cam_mapped"]), np.asarray(a_log["cam_mapped"])
+        )
+        assert int(np.asarray(a_log["cam_mapped"]).sum()) > 0
+        np.testing.assert_allclose(
+            np.asarray(c_mem.pool.mean), np.asarray(c_log.pool.mean),
+            rtol=1e-6,
+        )
+
     def test_sharded_matches_single_device(self):
         """Particles + chain rows sharded over the virtual mesh, blocks
         replicated: results must equal the single-device run."""
@@ -178,6 +326,82 @@ class TestStreamingSlam:
             np.asarray(a1["centroid"]), np.asarray(a2["centroid"]),
             atol=1e-5,
         )
+
+    def test_sharded_pool_colocated_matches_single_device(self):
+        """Block-sharded pool with range-local allocation
+        (map_pool_shards == mesh size): results equal the single-device
+        run bit-for-bit (the allocation pattern depends only on the
+        config, never the device count), block memory is physically
+        split over the mesh, and nothing is silently replicated."""
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        from slam_eslam_tpu.parallel import sharding as shd
+
+        cfg = dataclasses.replace(_cfg(n=64), map_pool_shards=8)
+        assert cfg.map_pool_blocks % 8 == 0
+
+        def build():
+            f = EmbodiedSlamFilter(config=cfg)
+            sim = AsguardSim(terrain=terrain)
+            f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+                   use_shared_map=False)
+            return f, sim
+
+        f, sim = build()
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        frames = []
+
+        def cb(s):
+            frames.append((s.contact_state(), jnp.asarray(q),
+                           jnp.asarray(s.position, jnp.float32),
+                           jnp.full((N_RAYS,), 2.0, jnp.float32),
+                           SCAN_META, jnp.asarray(True)))
+
+        for _ in range(4):
+            sim.step(wheel_delta=0.3, on_substep=cb)
+        stacked = streaming.stack_frames(frames)
+
+        carry0 = streaming.StreamingState.create(f.state, f.pool)
+        run1 = streaming.make_slam_scan_runner(cfg)
+        c1, a1 = run1(carry0, stacked)
+
+        mesh = shd.make_mesh(8)
+        fs = shd.shard_state(f.state, mesh)
+        pool_sh = shd.shard_pool(f.pool, mesh)
+        # the pool block axis is physically split over the mesh
+        assert not pool_sh.mean.sharding.is_fully_replicated
+        shard_rows = {s.data.shape[0] for s in
+                      pool_sh.mean.addressable_shards}
+        assert shard_rows == {f.pool.b // 8}
+        carry_sh = streaming.StreamingState.create(fs, pool_sh)
+        run8 = streaming.make_slam_scan_runner(cfg, mesh=mesh)
+        c2, a2 = run8(carry_sh, stacked)
+
+        np.testing.assert_array_equal(
+            np.asarray(c1.pool.chain), np.asarray(c2.pool.chain)
+        )
+        np.testing.assert_allclose(
+            np.asarray(c1.pool.mean), np.asarray(c2.pool.mean),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(c1.filter.particles.weight),
+            np.asarray(c2.filter.particles.weight),
+            rtol=2e-4, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a1["centroid"]), np.asarray(a2["centroid"]),
+            atol=1e-5,
+        )
+        # co-location invariant: every particle's ACTIVE block sits in
+        # its own allocation range (= its device's block range)
+        chain = np.asarray(c2.pool.chain)
+        n, b = f.pool.n, f.pool.b
+        prange = np.arange(n) // (n // 8)
+        brange = chain[:, 0] // (b // 8)
+        np.testing.assert_array_equal(prange, brange)
 
     def test_frames_from_log_roundtrip(self, tmp_path):
         """Record a traverse through the native log runtime, then feed
@@ -262,6 +486,30 @@ class TestStreamingSlam:
         np.testing.assert_allclose(
             f2.ud_pose[:3, 3], f_host.ud_pose[:3, 3], atol=1e-6
         )
+
+    def test_snapshot_recorder(self, tmp_path):
+        """Periodic-render harness (live-viz analog): every N-th update
+        produces a frame with particles + trajectories + inspected map."""
+        from slam_eslam_tpu.viz.snapshots import SnapshotRecorder
+
+        cfg = _cfg(n=8)
+        f = EmbodiedSlamFilter(config=cfg)
+        sim = AsguardSim(terrain=terrain)
+        f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+               use_shared_map=False)
+        rec = SnapshotRecorder(str(tmp_path / "frames"), every=2)
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        wrote = []
+        for _ in range(2):
+            sim.step(wheel_delta=0.3, on_substep=lambda s: None)
+            f.update_contact((q, sim.position.astype(np.float64)),
+                             sim.contact_state())
+            wrote.append(rec.maybe(f, truth=sim.position))
+        assert wrote[0] is not None and wrote[1] is None
+        import os
+
+        assert os.path.exists(wrote[0])
+        assert len(rec.frames) == 1
 
     def test_quat_from_matrix_roundtrip(self):
         from slam_eslam_tpu.utils import geometry

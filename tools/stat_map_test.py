@@ -43,7 +43,6 @@ def run_batch(args):
     from slam_eslam_tpu.models import asguard, contact_model as cm
     from slam_eslam_tpu.utils import geometry
 
-    rng = np.random.default_rng(args.seed)
     cfg = ContactModelConfig(
         min_contacts=args.min_contacts,
         contact_likelihood_correction=args.sigma_factor,
@@ -79,6 +78,12 @@ def run_batch(args):
 
     for run in range(args.runs):
         print(f"run {run}     ", end="\r", file=sys.stderr)
+        # per-run generator: runs are independent of batching, so a
+        # 500-run experiment can be split across processes
+        # (--run-offset) and merged (--save-raw + merge_raw)
+        rng = np.random.default_rng(
+            100003 * args.seed + args.run_offset + run
+        )
         sim = asguard.AsguardSim()
         grid = mls_grid.MLSGrid.create(
             200, 200, 0.05, (-5.0, 0.0), k=1
@@ -141,7 +146,20 @@ def run_batch(args):
                 map_z[run, i] = float(m[0])
                 map_sd[run, i] = float(s[0])
 
-    with open(args.result_file, "w") as out:
+    if args.save_raw:
+        np.savez(
+            args.save_raw, height_err=height_err, z_vars=z_vars,
+            forward=forward, map_z=map_z, map_sd=map_sd,
+        )
+        print(f"\nwrote {args.save_raw}", file=sys.stderr)
+        return
+    _write_result(args.result_file, height_err, z_vars, forward,
+                  map_z, map_sd)
+
+
+def _write_result(path, height_err, z_vars, forward, map_z, map_sd):
+    steps = height_err.shape[1]
+    with open(path, "w") as out:
         for i in range(steps):
             he = height_err[:, i]
             out.write(
@@ -150,10 +168,26 @@ def run_batch(args):
                 f"{np.nanmean(map_z[:, i])} {np.nanstd(map_z[:, i])} "
                 f"{np.nanmean(map_sd[:, i])} {he.min()} {he.max()}\n"
             )
-    print(f"\nwrote {args.result_file}", file=sys.stderr)
+    print(f"\nwrote {path}", file=sys.stderr)
     print(
         f"final height error: {height_err[:, -1].mean():.4f} "
-        f"+- {height_err[:, -1].std():.4f} m"
+        f"+- {height_err[:, -1].std():.4f} m "
+        f"({height_err.shape[0]} runs x {steps} steps)"
+    )
+
+
+def merge_raw(args):
+    """Merge per-shard --save-raw npz files into the result file."""
+    import glob
+
+    files = sorted(glob.glob(args.merge_raw))
+    if not files:
+        raise SystemExit(f"no raw shards match {args.merge_raw}")
+    parts = [np.load(f) for f in files]
+    cat = lambda k: np.concatenate([p[k] for p in parts], axis=0)
+    _write_result(
+        args.result_file, cat("height_err"), cat("z_vars"),
+        parts[0]["forward"], cat("map_z"), cat("map_sd"),
     )
 
 
@@ -212,8 +246,19 @@ def main():
     ap.add_argument("--result-file", default="/tmp/stat_map_result.dat",
                     dest="result_file")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--run-offset", type=int, default=0,
+                    dest="run_offset",
+                    help="per-run seed offset (process-parallel shards)")
+    ap.add_argument("--save-raw", default=None, dest="save_raw",
+                    help="write raw per-run arrays (npz) instead of the "
+                    "aggregated result file")
+    ap.add_argument("--merge-raw", default=None, dest="merge_raw",
+                    help="glob of raw npz shards to merge into "
+                    "--result-file (no simulation)")
     args = ap.parse_args()
-    if args.mode == "batch":
+    if args.merge_raw:
+        merge_raw(args)
+    elif args.mode == "batch":
         run_batch(args)
     else:
         run_contact(args)
