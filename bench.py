@@ -28,7 +28,11 @@ def main():
         "1024 for --mode slam — per-particle maps scale memory with "
         "particles x map area)",
     )
-    ap.add_argument("--steps", type=int, default=10)
+    # 50 steps per dispatch: the whole trajectory is one device call,
+    # and the ~25 ms tunnel/dispatch latency of this environment must
+    # amortise out or it dominates the per-step number (device trace:
+    # 2.3 ms/step actual vs 4.8 ms/step wall at steps=10)
+    ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--lookup", choices=["gather", "window", "auto"], default="auto",
@@ -50,6 +54,14 @@ def main():
         help="filter: localisation step throughput (headline); "
         "slam: full EmbodiedSlamFilter loop with per-particle maps, "
         "laser merges and surface-hash reinjection",
+    )
+    ap.add_argument(
+        "--grid-size", type=float, default=10.0, dest="grid_size",
+        help="(slam mode) per-particle grid extent in metres",
+    )
+    ap.add_argument(
+        "--grid-res", type=float, default=0.25, dest="grid_res",
+        help="(slam mode) per-particle grid resolution in metres",
     )
     ap.add_argument(
         "--min-effective", type=int, default=-1, dest="min_effective",
@@ -239,8 +251,8 @@ def bench_slam(args):
         Config(),
         particle_count=n,
         min_effective=n // 2,
-        grid_size=10.0,
-        grid_resolution=0.25,
+        grid_size=args.grid_size,
+        grid_resolution=args.grid_res,
         map_pool_blocks=n + 64,
         map_chain_length=3,
         map_pool_color=False,  # perf config: no slip/texture fusion

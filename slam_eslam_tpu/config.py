@@ -144,10 +144,12 @@ class Config:
     # spread-detection fallback to the full gather (production default)
     lookup_mode: str = "auto"
     # window size in cells for the Pallas lookup (int or (wx, wy)).
-    # 128 @ 0.05 m = 6.4 m: covers a 100k-particle tracking cloud with
-    # sigma ~0.3 m (a 64-cell window is right at the +-4.5 sigma extreme
-    # -> the auto fallback would fire every step)
-    lookup_window: int = 128
+    # 96 @ 0.05 m = 4.8 m covers a 100k-particle tracking cloud with
+    # sigma ~0.3 m at +-8 sigma (a 64-cell window sits right at the
+    # +-4.5 sigma extreme -> the auto fallback fires most steps);
+    # measured v5e: 96 = 4.9 ns/query vs 128 = 5.3 (cost scales with
+    # the y-extent of the window; see BENCH.md round 2)
+    lookup_window: int = 96
     # number of patch slots per MLS cell (fixed-shape patch lists)
     mls_patches_per_cell: int = 4
     # z search window (m) for MLSMap::getPatch (reference passes 3.0,

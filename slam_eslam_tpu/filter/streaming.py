@@ -86,7 +86,8 @@ def _quat_angle(qa, qb):
 
 def make_slam_step(cfg: Config, laser2body=None, hash_=None,
                    match=None, update=True, mesh=None,
-                   camera2body=None, camera_intrinsics=None):
+                   camera2body=None, camera_intrinsics=None,
+                   camera_texture=False):
     """Build the fused per-frame SLAM step.
 
     ``step(carry: StreamingState, frame) -> (StreamingState, aux)`` with
@@ -96,7 +97,11 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
     ``(..., dimg [H, W], has_dimg [])`` — the distance-image camera path
     of the reference (``EmbodiedSlamFilter.cpp:239-309``), gated by
     ``mapping_camera_threshold`` on its own ``stereoPose`` anchor and
-    always merged (match=False, update=True, ``:301``).
+    always merged (match=False, update=True, ``:301``).  With
+    ``camera_texture=True`` a final ``timg [H, W, 3]`` entry supplies
+    per-frame RGB riding on the merged patches (the ImageRGB24 input,
+    ``:259-275``; needs a colour-carrying pool, which forces the XLA
+    merge path).
 
     ``laser2body``: static (rot [3,3], trans [3]) sensor extrinsics.
     ``camera_intrinsics``: static (scale_x, scale_y, center_x, center_y)
@@ -122,9 +127,16 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
     if match is None:
         match = cfg.use_visual_update
     threshold = cfg.grid_size / 2.0 * cfg.grid_threshold
-    # a Mosaic custom call cannot be auto-partitioned over a sharded
-    # pool — meshed streaming keeps the XLA merge
-    merge_kernel = "xla" if mesh is not None else cfg.merge_kernel
+    # a Mosaic custom call cannot be auto-partitioned by XLA — on a
+    # mesh the kernel runs shard-locally (shard_map inside
+    # merge_cloud_all), which needs write-side co-location:
+    # map_pool_shards == mesh size.  Otherwise fall back to XLA.
+    if mesh is None:
+        merge_kernel, merge_mesh = cfg.merge_kernel, None
+    elif cfg.map_pool_shards == mesh.shape.get("dp"):
+        merge_kernel, merge_mesh = cfg.merge_kernel, mesh
+    else:
+        merge_kernel, merge_mesh = "xla", None
     l_rot = (jnp.eye(3, dtype=jnp.float32) if laser2body is None
              else jnp.asarray(laser2body[0], jnp.float32))
     l_trans = (jnp.zeros(3, jnp.float32) if laser2body is None
@@ -149,7 +161,11 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
         return st, shd.constrain_pool(pool, mesh)
 
     def step(carry: StreamingState, frame):
-        if camera2body is not None:
+        timg = None
+        if camera2body is not None and camera_texture:
+            (cs, q, body_pos, ranges, scan_meta, has_scan,
+             dimg, has_dimg, timg) = frame
+        elif camera2body is not None:
             (cs, q, body_pos, ranges, scan_meta, has_scan,
              dimg, has_dimg) = frame
         else:
@@ -243,6 +259,7 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
                     pool, p.xy, p.yaw, p.z, p.z_sigma, cloud, update_idx,
                     patch_thickness=cfg.grid_patch_thickness,
                     gap_size=cfg.grid_gap_size, kernel=merge_kernel,
+                    mesh=merge_mesh,
                 )
                 update_idx = update_idx + 1
             return st, pool, update_idx, failed, laser_pos, q
@@ -271,8 +288,12 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
             cpts, cvalid = projection.distance_image_to_points(
                 img, cfg.max_sensor_range
             )
+            ccolor = (
+                projection.texture_colors(img, timg)
+                if timg is not None else None
+            )
             ccloud = projection.project_points(
-                cpts, cvalid, c_rot, c_trans, q
+                cpts, cvalid, c_rot, c_trans, q, color=ccolor
             )
             cam_now = body_pos + geometry.quat_rotate(
                 q[None], c_trans[None]
@@ -297,6 +318,7 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
                     pool, p.xy, p.yaw, p.z, p.z_sigma, ccloud, update_idx,
                     patch_thickness=cfg.grid_patch_thickness,
                     gap_size=cfg.grid_gap_size, kernel=merge_kernel,
+                    mesh=merge_mesh,
                 )
                 return (st, pool, update_idx + 1, failed + f1 + f2,
                         cam_now, q)
@@ -330,7 +352,8 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
 
 def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
                           match=None, update=True, mesh=None,
-                          camera2body=None, camera_intrinsics=None):
+                          camera2body=None, camera_intrinsics=None,
+                          camera_texture=False):
     """Roll a whole frame stream through the fused SLAM step on device.
 
     ``run(carry, frames) -> (carry, aux)`` — ``frames`` is the per-frame
@@ -340,7 +363,8 @@ def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
     step = make_slam_step(cfg, laser2body=laser2body, hash_=hash_,
                           match=match, update=update, mesh=mesh,
                           camera2body=camera2body,
-                          camera_intrinsics=camera_intrinsics)
+                          camera_intrinsics=camera_intrinsics,
+                          camera_texture=camera_texture)
 
     @jax.jit
     def run(carry: StreamingState, frames):

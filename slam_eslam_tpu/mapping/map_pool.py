@@ -257,6 +257,12 @@ def _allocate(pool: MapPool, want_mask, shards=1):
 def ensure_unique_active(pool: MapPool, shards=1):
     """Copy-on-write: give every particle an exclusively-owned head block.
 
+    With ``shards > 1`` a head living outside the particle's block
+    range (a resample migrated the particle across ranges) is also
+    re-homed into the local range — the write-side co-location
+    invariant the meshed Pallas merge relies on (every particle's
+    active block on its own device).
+
     Returns ``(pool, n_failed)`` — ``n_failed`` particles stayed on a
     shared block because the pool was exhausted.
     """
@@ -265,6 +271,9 @@ def ensure_unique_active(pool: MapPool, shards=1):
     idx = jnp.arange(n, dtype=jnp.int32)
     owner = jax.ops.segment_min(idx, active, num_segments=pool.b)
     is_dup = idx != owner[active]
+    if shards > 1:
+        foreign = (idx // (n // shards)) != (active // (pool.b // shards))
+        is_dup = is_dup | foreign
 
     new_block, n_failed = _allocate(pool, is_dup, shards=shards)
     do = new_block >= 0
@@ -391,7 +400,8 @@ def _block_get_patch(pool: MapPool, b, points, z_window, with_color=False):
 
 def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
                     cloud: PatchCloud, update_idx,
-                    patch_thickness=0.1, gap_size=1.5, kernel="auto"):
+                    patch_thickness=0.1, gap_size=1.5, kernel="auto",
+                    mesh=None):
     """Merge one scan cloud into every particle's active grid at once.
 
     The fused equivalent of the reference's per-particle
@@ -406,6 +416,14 @@ def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
     gather/scatter path; colourless pools only); ``'xla'`` = dedup +
     gather/scatter; ``'auto'`` = pallas on TPU when the pool carries no
     colour, else xla.
+
+    ``mesh``: run the Pallas kernel shard-locally under ``shard_map``
+    over a ``('dp',)`` mesh — requires write-side co-location (the
+    pool built and maintained with ``map_pool_shards == mesh size`` so
+    every particle's active block lives in its shard's block range;
+    ``ensure_unique_active`` re-homes migrated heads).  No
+    communication: each shard merges its own particles into its own
+    blocks.
     """
     n, p = pool.n, cloud.p
     c, s = jnp.cos(yaw), jnp.sin(yaw)
@@ -435,15 +453,43 @@ def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
         from slam_eslam_tpu.ops import pallas_merge
 
         w = jnp.where(mask, 1.0 / jnp.maximum(var, 1e-12), 0.0)
-        out = pallas_merge.merge_blocks(
-            pool.mean, pool.stdev, pool.height, pool.valid,
-            pool.horizontal, pool.update_idx,
-            active, jnp.where(mask, ix, pool.nx),
-            jnp.where(mask, iy, pool.ny), w, w * wz,
-            jnp.asarray(update_idx, jnp.int32), k=pool.k,
+        lxm = jnp.where(mask, ix, pool.nx)
+        lym = jnp.where(mask, iy, pool.ny)
+        uidx_arr = jnp.asarray(update_idx, jnp.int32)
+        call = partial(
+            pallas_merge.merge_blocks, k=pool.k,
             patch_thickness=patch_thickness, gap_size=gap_size,
             interpret=jax.default_backend() == "cpu",
         )
+        if mesh is None:
+            out = call(
+                pool.mean, pool.stdev, pool.height, pool.valid,
+                pool.horizontal, pool.update_idx,
+                active, lxm, lym, w, w * wz, uidx_arr,
+            )
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            shard_map = (jax.shard_map if hasattr(jax, "shard_map")
+                         else __import__(
+                             "jax.experimental.shard_map",
+                             fromlist=["shard_map"]).shard_map)
+            bl = pool.b // mesh.shape["dp"]
+
+            def local(mean, stdev, height, valid, horiz, uidx,
+                      active, lxm, lym, w, wwz, ui):
+                blk = active - jax.lax.axis_index("dp") * bl
+                return call(mean, stdev, height, valid, horiz, uidx,
+                            blk, lxm, lym, w, wwz, ui)
+
+            out = shard_map(
+                local, mesh=mesh,
+                in_specs=(P("dp"),) * 11 + (P(),),
+                out_specs=(P("dp"),) * 6,
+                check_vma=False,
+            )(pool.mean, pool.stdev, pool.height, pool.valid,
+              pool.horizontal, pool.update_idx,
+              active, lxm, lym, w, w * wz, uidx_arr)
         return dataclasses.replace(
             pool, mean=out[0], stdev=out[1], height=out[2],
             valid=out[3], horizontal=out[4], update_idx=out[5],

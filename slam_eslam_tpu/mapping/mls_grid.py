@@ -193,7 +193,7 @@ def get_patch(grid: MLSGrid, points, z_window=3.0):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["data", "origin"],
+    data_fields=["data", "data_t", "origin"],
     meta_fields=["resolution"],
 )
 @dataclasses.dataclass
@@ -203,22 +203,31 @@ class PackedLookup:
     the last K.  One query then costs a single contiguous-slice gather
     instead of 3 separate gathers over mean/stdev/valid — TPU gathers
     are per-element-costly, so halving the gathered element count nearly
-    halves the weighting step's wall time."""
+    halves the weighting step's wall time.
+
+    ``data_t`` (``[ny, 2K, nx]``) is the same content pre-transposed to
+    the Pallas window kernel's table layout: the per-step window slice
+    + leading-dim merge are then layout-preserving, instead of paying a
+    relayout transpose of the window every step (device-trace finding)."""
 
     data: jax.Array    # [nx, ny, 2K] float32
     origin: jax.Array  # [2]
     resolution: float
+    data_t: jax.Array | None = None  # [ny, 2K, nx] (kernel layout)
 
     @property
     def k(self):
         return self.data.shape[2] // 2
 
     @staticmethod
-    def from_grid(grid: MLSGrid):
+    def from_grid(grid: MLSGrid, with_transposed=True):
         mean = jnp.where(grid.valid, grid.mean, 0.0)
         stdev = jnp.where(grid.valid, grid.stdev, -1.0)
+        data = jnp.concatenate([mean, stdev], axis=-1)
         return PackedLookup(
-            data=jnp.concatenate([mean, stdev], axis=-1),
+            data=data,
+            data_t=(jnp.transpose(data, (1, 2, 0))
+                    if with_transposed else None),
             origin=grid.origin,
             resolution=grid.resolution,
         )

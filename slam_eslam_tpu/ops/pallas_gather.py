@@ -261,7 +261,7 @@ def _fused_select_kernel(lx_ref, ly_ref, z_ref, table_ref, out_ref, *, wx,
 
 
 def _fused_select_kernel_t(lxy_ref, z_ref, table_ref, out_ref, *, wx, wy,
-                           k, z_window, mxu_dtype):
+                           k, z_window, mxu_dtype, rows_f32=True):
     """Transposed-layout fused select: queries ride the LANE axis.
 
     Motivation (measured via device trace): with queries on the sublane
@@ -307,16 +307,21 @@ def _fused_select_kernel_t(lxy_ref, z_ref, table_ref, out_ref, *, wx, wy,
             (jnp.broadcast_to(lxb, (wx, 128)) == iota_x).astype(mxu_dtype)
         )
     oh_t = jnp.concatenate(ohs, axis=1)                  # [WX, T]
+    # rows are one-hot selections of (already mxu_dtype-rounded) table
+    # values — keeping them in mxu_dtype loses nothing and halves the
+    # VPU width of the y-mask stage, the dominant non-MXU cost
+    rows_dt = jnp.float32 if rows_f32 else mxu_dtype
     rows_t = jnp.dot(table_t, oh_t,
-                     preferred_element_type=jnp.float32)  # [WC, T]
+                     preferred_element_type=rows_dt)      # [WC, T]
 
     rowid = jax.lax.broadcasted_iota(jnp.int32, (wc, 128), 0)
+    zero = jnp.zeros((), rows_dt)
     masked_blocks = []
     for b in range(tb):
         rb = jax.lax.slice(rows_t, (0, b * 128), (wc, (b + 1) * 128))
         mask = (rowid // c) == jnp.broadcast_to(lys[b], (wc, 128))
         masked_blocks.append(
-            jnp.where(mask, rb, 0.0).astype(mxu_dtype)
+            jnp.where(mask, rb, zero).astype(mxu_dtype)
         )
     masked = jnp.concatenate(masked_blocks, axis=1)      # [WC, T]
     cell_all = jnp.dot(sel_t, masked,
@@ -348,13 +353,123 @@ def _fused_select_kernel_t(lxy_ref, z_ref, table_ref, out_ref, *, wx, wy,
     out_ref[...] = jnp.concatenate(out_blocks, axis=1)   # [8, T]
 
 
+def _fused_select_kernel_flat(lxy_ref, z_ref, table_ref, out_ref, *, wx,
+                              wy, k, z_window, mxu_dtype):
+    """Transposed fused select with FULL-TILE index rows.
+
+    ``_fused_select_kernel_t`` unrolls a per-128-query block loop
+    because its ``[tb, 128]`` index tile puts each query block on a
+    different sublane and Mosaic rejects lane-concats across sublane
+    offsets.  Measured consequence: a ~4 ns/query FIXED cost that
+    barely scales with window area (64^2: 4.19 ns, 128^2: 4.92 ns) —
+    the block loop serialises the VPU stages.  Here the host feeds
+    ``lxy``/``z`` as single-sublane ``[1, T]`` rows instead, so the
+    one-hot build, y-mask and z-select all run as ONE full-tile op
+    each; the two MXU dots are unchanged.
+    """
+    c = 2 * k
+    wc = wy * c
+    lxy = lxy_ref[0]                        # [1, T] int32
+    t = lxy.shape[-1]
+    lx = lxy // wy
+    ly = lxy - lx * wy
+
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, t), 0)
+    oh_t = (jnp.broadcast_to(lx, (wx, t)) == iota_x).astype(mxu_dtype)
+    rows_t = jnp.dot(table_ref[...].astype(mxu_dtype), oh_t,
+                     preferred_element_type=jnp.float32)   # [WC, T]
+
+    rowgrp = jax.lax.broadcasted_iota(jnp.int32, (wc, t), 0) // c
+    mask = rowgrp == jnp.broadcast_to(ly, (wc, t))
+    masked = jnp.where(mask, rows_t, 0.0).astype(mxu_dtype)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 1)
+    outc = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
+    sel_t = ((col % c) == outc).astype(mxu_dtype)
+    cell = jnp.dot(sel_t, masked,
+                   preferred_element_type=jnp.float32)     # [C, T]
+
+    z = jnp.broadcast_to(z_ref[0], (c, t))                 # [C, T]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, t), 0)
+    is_mean = lane < k
+    stds = pltpu.roll(cell, shift=k, axis=0)
+    dist = jnp.abs(cell - z)
+    cand = is_mean & (stds >= 0.0) & (dist <= z_window)
+    dist_inf = jnp.where(cand, dist, jnp.inf)
+    mind = jnp.min(dist_inf, axis=0, keepdims=True)
+    score = jnp.where(cand & (dist_inf == mind), lane, c)
+    best = jnp.min(score, axis=0, keepdims=True)           # [1, T]
+    bm = lane == best
+    mean_b = jnp.sum(jnp.where(bm, cell, 0.0), axis=0, keepdims=True)
+    stdev_b = jnp.sum(jnp.where(bm, stds, 0.0), axis=0, keepdims=True)
+    found = (best < c).astype(jnp.float32)
+    pad = jnp.zeros((5, t), jnp.float32)
+    out_ref[...] = jnp.concatenate([found, mean_b, stdev_b, pad],
+                                   axis=0)
+
+
+def window_select_flat(table, lx, ly, z, *, z_window=3.0, tile=1024,
+                       interpret=False, mxu_dtype=jnp.bfloat16,
+                       table_t=None, shape=None):
+    """Fused select via ``_fused_select_kernel_flat`` (single-sublane
+    full-tile index rows).  Same contract as ``window_select``.
+    ``table_t`` ([WY*2K, WX], with ``shape=(wx, wy, 2k)``) skips the
+    per-call transpose when the caller holds a pre-transposed table."""
+    if table_t is None:
+        wx, wy, c = table.shape
+        table_t = table.reshape(wx, wy * c).T
+    else:
+        wx, wy, c = shape
+    k = c // 2
+    q = lx.shape[0]
+    qp = ((q + tile - 1) // tile) * tile
+    pad = qp - q
+    lxy = lx * wy + ly
+    if pad:
+        lxy = jnp.pad(lxy, (0, pad))
+        z = jnp.pad(z, (0, pad))
+    lxy2 = lxy.reshape(qp // tile, 1, tile)
+    z2 = z.reshape(qp // tile, 1, tile).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_select_kernel_flat, wx=wx, wy=wy, k=k,
+            z_window=z_window, mxu_dtype=mxu_dtype,
+        ),
+        grid=(qp // tile,),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wy * c, wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, qp), jnp.float32),
+        interpret=interpret,
+    )(lxy2, z2, table_t)
+    return out[0, :q] > 0.5, out[1, :q], out[2, :q]
+
+
 def window_select_t(table, lx, ly, z, *, z_window=3.0, tile=1024,
-                    interpret=False, mxu_dtype=jnp.bfloat16):
+                    interpret=False, mxu_dtype=jnp.bfloat16,
+                    rows_f32=True, table_t=None, shape=None):
     """Layout-compact fused select (see ``_fused_select_kernel_t``).
     Same contract as ``window_select``.  ``tile`` must be a multiple of
     1024 (the index block's sublane dim ``tile/128`` must divide by 8).
+    ``rows_f32=False`` keeps the stage-1 rows in ``mxu_dtype`` (exact —
+    they are one-hot copies of the already-rounded table) to halve the
+    y-mask VPU work.  ``table_t`` ([WY*2K, WX] + ``shape``) skips the
+    per-call transpose.
     """
-    wx, wy, c = table.shape
+    if table_t is None:
+        wx, wy, c = table.shape
+        # transposed table [WY*C, WX] so rows_T = tableT @ onehot_T
+        table_t = table.reshape(wx, wy * c).T
+    else:
+        wx, wy, c = shape
     k = c // 2
     q = lx.shape[0]
     tile = max(tile, 1024)
@@ -367,14 +482,12 @@ def window_select_t(table, lx, ly, z, *, z_window=3.0, tile=1024,
         z = jnp.pad(z, (0, pad))
     lxy2 = lxy.reshape(qp // 128, 128)
     z2 = z.reshape(qp // 128, 128).astype(jnp.float32)
-    # transposed table [WY*C, WX] so rows_T = tableT @ onehot_T
-    table_t = table.reshape(wx, wy * c).T
     tb = tile // 128
 
     out = pl.pallas_call(
         functools.partial(
             _fused_select_kernel_t, wx=wx, wy=wy, k=k, z_window=z_window,
-            mxu_dtype=mxu_dtype,
+            mxu_dtype=mxu_dtype, rows_f32=rows_f32,
         ),
         grid=(qp // tile,),
         in_specs=[
@@ -454,7 +567,8 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
                              tile=512, interpret=False,
                              mxu_dtype=jnp.bfloat16,
                              stage1="onehot", stage2="matmul",
-                             center_subsample=0, layout="q_lanes"):
+                             center_subsample=0, layout="q_lanes",
+                             rows_f32=True):
     """``windowed_get_patch`` with the z-window slot selection fused into
     the kernel (see ``_fused_select_kernel``).
 
@@ -487,9 +601,20 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
         jnp.mean(jnp.clip(ciy, 0, ny - 1)).astype(jnp.int32) - wy // 2,
         0, max(ny - wy, 0),
     )
-    table = jax.lax.dynamic_slice(
-        packed.data, (cx, cy, 0), (wx, wy, 2 * packed.k)
-    )
+    c = 2 * packed.k
+    if layout in ("q_lanes", "q_flat") and packed.data_t is not None:
+        # pre-transposed table: the slice + leading-dim merge are
+        # layout-preserving (no per-step relayout of the window)
+        table = None
+        table_t = jax.lax.dynamic_slice(
+            packed.data_t, (cy, 0, cx), (wy, c, wx)
+        ).reshape(wy * c, wx)
+        tshape = (wx, wy, c)
+    else:
+        table = jax.lax.dynamic_slice(
+            packed.data, (cx, cy, 0), (wx, wy, c)
+        )
+        table_t, tshape = None, None
 
     lx = ix - cx
     ly = iy - cy
@@ -497,10 +622,17 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
     lxc = jnp.clip(lx, 0, wx - 1)
     lyc = jnp.clip(ly, 0, wy - 1)
 
-    if layout == "q_lanes":
-        found, mean, stdev = window_select_t(
+    if layout == "q_flat":
+        found, mean, stdev = window_select_flat(
             table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,
             interpret=interpret, mxu_dtype=mxu_dtype,
+            table_t=table_t, shape=tshape,
+        )
+    elif layout == "q_lanes":
+        found, mean, stdev = window_select_t(
+            table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,
+            interpret=interpret, mxu_dtype=mxu_dtype, rows_f32=rows_f32,
+            table_t=table_t, shape=tshape,
         )
     else:
         found, mean, stdev = window_select(

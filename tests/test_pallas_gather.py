@@ -121,9 +121,13 @@ class TestFusedSelect:
             np.asarray(out[1])[f], np.asarray(ref[1])[f], rtol=1e-6
         )
 
-    @pytest.mark.parametrize("window", [64, (128, 64)])
-    def test_q_lanes_layout(self, packed, window):
-        """The transposed (queries-on-lanes) kernel must match the
+    @pytest.mark.parametrize("window,layout", [
+        (64, "q_lanes"), ((128, 64), "q_lanes"),
+        (64, "q_flat"), ((128, 64), "q_flat"),
+    ])
+    def test_q_lanes_layout(self, packed, window, layout):
+        """The transposed (queries-on-lanes) kernels — per-block
+        (q_lanes) and full-tile-row (q_flat) — must match the
         sublane-layout kernel exactly."""
         pts = jnp.concatenate(
             [
@@ -140,11 +144,40 @@ class TestFusedSelect:
         )
         b = pg.windowed_get_patch_fused(
             packed, pts, 3.0, window=window, interpret=True,
-            mxu_dtype=jnp.float32, layout="q_lanes",
+            mxu_dtype=jnp.float32, layout=layout,
         )
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
         np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]))
         np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]))
+
+    def test_q_lanes_bf16_rows_identical(self, packed):
+        """rows_f32=False keeps stage-1 rows in mxu_dtype — exact, since
+        rows are one-hot copies of the already-rounded table: outputs
+        must be bit-identical to the f32-rows kernel."""
+        pts = jnp.concatenate(
+            [
+                jax.random.uniform(jax.random.PRNGKey(21), (513, 2),
+                                   minval=-0.7, maxval=0.7),
+                jax.random.uniform(jax.random.PRNGKey(22), (513, 1),
+                                   minval=-0.6, maxval=0.6),
+            ],
+            axis=1,
+        )
+        for dt in (jnp.float32, jnp.bfloat16):
+            a = pg.windowed_get_patch_fused(
+                packed, pts, 3.0, window=64, interpret=True,
+                mxu_dtype=dt, layout="q_lanes", rows_f32=True,
+            )
+            b = pg.windowed_get_patch_fused(
+                packed, pts, 3.0, window=64, interpret=True,
+                mxu_dtype=dt, layout="q_lanes", rows_f32=False,
+            )
+            np.testing.assert_array_equal(np.asarray(a[0]),
+                                          np.asarray(b[0]))
+            np.testing.assert_array_equal(np.asarray(a[1]),
+                                          np.asarray(b[1]))
+            np.testing.assert_array_equal(np.asarray(a[2]),
+                                          np.asarray(b[2]))
 
     def test_center_subsample(self, packed):
         """Subsampled window centring must not change results for a

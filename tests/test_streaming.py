@@ -209,6 +209,78 @@ class TestStreamingSlam:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_camera_texture_matches_host(self):
+        """Texture RGB riding on camera merges (ImageRGB24 path,
+        EmbodiedSlamFilter.cpp:259-275): streaming camera_texture=True
+        must reproduce the host driver's texture colours on the pool."""
+        cfg = _cfg(n=12)
+        h, w = 4, 6
+        intr = (0.1, 0.1, -0.3, -0.2)
+        cb = (np.eye(3), np.zeros(3))
+        rng = np.random.default_rng(5)
+        d = (2.0 + 0.05 * rng.standard_normal((h, w))).astype(np.float32)
+        tex = rng.uniform(0.0, 1.0, (h, w, 3)).astype(np.float32)
+
+        def build():
+            f = EmbodiedSlamFilter(config=cfg)
+            sim = AsguardSim(terrain=terrain)
+            f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+                   use_shared_map=False)
+            return f, sim
+
+        f, sim = build()
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        frames = []
+
+        def sub(s):
+            cs = s.contact_state()
+            f.update_contact((q, s.position.astype(np.float64)), cs)
+            frames.append([
+                cs, jnp.asarray(q), jnp.asarray(s.position, jnp.float32),
+                jnp.zeros((1,), jnp.float32),
+                (jnp.asarray(0.0, jnp.float32),
+                 jnp.asarray(1.0, jnp.float32)),
+                jnp.asarray(False),
+                jnp.zeros((h, w), jnp.float32), jnp.asarray(False),
+                jnp.zeros((h, w, 3), jnp.float32),
+            ])
+
+        img = proj.DistanceImage(
+            data=jnp.asarray(d),
+            scale_x=jnp.asarray(intr[0], jnp.float32),
+            scale_y=jnp.asarray(intr[1], jnp.float32),
+            center_x=jnp.asarray(intr[2], jnp.float32),
+            center_y=jnp.asarray(intr[3], jnp.float32),
+        )
+        for _ in range(2):
+            sim.step(wheel_delta=0.3, on_substep=sub)
+            # the image arrives on the step's last substep frame — the
+            # same interleaving the streaming loop sees
+            f.update_distance_image(
+                (q, sim.position.astype(np.float64)), img, cb,
+                texture=tex,
+            )
+            frames[-1][6] = jnp.asarray(d)
+            frames[-1][7] = jnp.asarray(True)
+            frames[-1][8] = jnp.asarray(tex)
+        frames = [tuple(fr) for fr in frames]
+
+        f2, _ = build()
+        carry = streaming.StreamingState.create(f2.state, f2.pool)
+        run = streaming.make_slam_scan_runner(
+            cfg, camera2body=cb, camera_intrinsics=intr,
+            camera_texture=True,
+        )
+        carry, aux = run(carry, streaming.stack_frames(frames))
+        assert int(np.asarray(aux["cam_mapped"]).sum()) >= 1
+        assert f.pool.color is not None
+        np.testing.assert_allclose(
+            np.asarray(carry.pool.color), np.asarray(f.pool.color),
+            rtol=1e-5, atol=1e-6,
+        )
+        # some patch actually carries non-zero texture colour
+        assert float(np.abs(np.asarray(carry.pool.color)).max()) > 0
+
     def test_camera_frames_from_log(self, tmp_path):
         """DISTANCE_IMAGE records flow through load_stream into the
         device-resident runner (camera=True round trip)."""
@@ -402,6 +474,67 @@ class TestStreamingSlam:
         prange = np.arange(n) // (n // 8)
         brange = chain[:, 0] // (b // 8)
         np.testing.assert_array_equal(prange, brange)
+
+    def test_sharded_pool_pallas_merge_matches_xla(self):
+        """Meshed Pallas merge: shard_map runs the block-merge kernel
+        shard-locally (active blocks co-located by map_pool_shards +
+        re-homing) — must equal the single-device XLA merge."""
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        from slam_eslam_tpu.parallel import sharding as shd
+
+        cfg = dataclasses.replace(
+            _cfg(n=64), map_pool_shards=8, map_pool_color=False,
+        )
+
+        def build():
+            f = EmbodiedSlamFilter(config=cfg)
+            sim = AsguardSim(terrain=terrain)
+            f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
+                   use_shared_map=False)
+            return f, sim
+
+        f, sim = build()
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        frames = []
+
+        def cb(s):
+            frames.append((s.contact_state(), jnp.asarray(q),
+                           jnp.asarray(s.position, jnp.float32),
+                           jnp.full((N_RAYS,), 2.0, jnp.float32),
+                           SCAN_META, jnp.asarray(True)))
+
+        for _ in range(4):
+            sim.step(wheel_delta=0.3, on_substep=cb)
+        stacked = streaming.stack_frames(frames)
+
+        carry0 = streaming.StreamingState.create(f.state, f.pool)
+        run_x = streaming.make_slam_scan_runner(
+            dataclasses.replace(cfg, merge_kernel="xla")
+        )
+        cx, _ = run_x(carry0, stacked)
+
+        mesh = shd.make_mesh(8)
+        carry_sh = streaming.StreamingState.create(
+            shd.shard_state(f.state, mesh), shd.shard_pool(f.pool, mesh)
+        )
+        run_p = streaming.make_slam_scan_runner(
+            dataclasses.replace(cfg, merge_kernel="pallas"), mesh=mesh
+        )
+        cp, _ = run_p(carry_sh, stacked)
+
+        np.testing.assert_array_equal(
+            np.asarray(cx.pool.chain), np.asarray(cp.pool.chain)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cx.pool.valid), np.asarray(cp.pool.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(cx.pool.mean), np.asarray(cp.pool.mean),
+            rtol=1e-4, atol=1e-5,
+        )
 
     def test_frames_from_log_roundtrip(self, tmp_path):
         """Record a traverse through the native log runtime, then feed

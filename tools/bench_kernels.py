@@ -164,6 +164,36 @@ def main():
               f"SoL(bw)={t_ideal_bw / t_f:.3f}  "
               f"speedup x{t_gather / t_f:.2f}")
 
+    # transposed kernels: layout x window shape x tile
+    variants_t = [
+        ("q_lanes", 64, 64, 1024),
+        ("q_flat", 64, 64, 1024),
+        ("q_flat", 64, 64, 2048),
+        ("q_flat", 64, 64, 4096),
+        ("q_flat", 128, 128, 1024),
+        ("q_flat", 128, 128, 2048),
+        ("q_flat", 128, 64, 2048),
+        ("q_flat", 96, 96, 2048),
+    ]
+    for layout, wx, wy, tile in variants_t:
+        label = f"{layout}/w{wx}x{wy}/t{tile}"
+        try:
+            t_f = timeit_chained(
+                lambda p, layout=layout, wx=wx, wy=wy, tile=tile:
+                    pg.windowed_get_patch_fused(
+                        packed, p, window=(wx, wy), tile=tile,
+                        layout=layout,
+                    )[1],
+                pts,
+            )
+        except Exception as e:
+            print(f"{label:32s}: FAILED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:90]})")
+            continue
+        print(f"{label:32s}: {t_f * 1e3:8.2f} ms  "
+              f"({q / t_f / 1e6:7.1f} Mq/s)  "
+              f"{t_f / q * 1e9:5.2f} ns/q  speedup x{t_gather / t_f:.2f}")
+
     # resampling
     n = args.particles
     wts = jax.random.uniform(jax.random.PRNGKey(2), (n,)) + 0.01
