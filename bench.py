@@ -64,6 +64,11 @@ def main():
         help="(slam mode) per-particle grid resolution in metres",
     )
     ap.add_argument(
+        "--donate", action="store_true",
+        help="(slam mode) donate the carry to the runner: halves peak "
+        "HBM for large pools (each repeat rebuilds the carry)",
+    )
+    ap.add_argument(
         "--min-effective", type=int, default=-1, dest="min_effective",
         help="ESS resampling threshold (default: particles/5; 0 "
         "disables resampling — for stage attribution)",
@@ -263,7 +268,8 @@ def bench_slam(args):
     f = EmbodiedSlamFilter(config=cfg)
     sim = AsguardSim(terrain=terrain)
     f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
-           use_shared_map=False)
+           use_shared_map=False,
+           num_contact_points=args.contact_cap or 20)
     q = np.array([1.0, 0, 0, 0], np.float32)
 
     n_rays = 64
@@ -278,8 +284,11 @@ def bench_slam(args):
     frame_list = []
 
     def cb(s):
+        cs = s.contact_state()
+        if args.contact_cap:
+            cs = cs.compact(args.contact_cap)
         frame_list.append([
-            s.contact_state(), jnp.asarray(q),
+            cs, jnp.asarray(q),
             jnp.asarray(s.position, jnp.float32),
             jnp.full((n_rays,), 2.0, jnp.float32),
             scan_meta, jnp.asarray(False),
@@ -291,16 +300,25 @@ def bench_slam(args):
     stacked = streaming.stack_frames([tuple(fr) for fr in frame_list])
     frames = len(frame_list)
 
-    carry0 = streaming.StreamingState.create(f.state, f.pool)
-    run = streaming.make_slam_scan_runner(cfg, laser2body=lb)
+    def make_carry():
+        c = streaming.StreamingState.create(f.state, f.pool)
+        if args.donate:
+            # donation consumes the buffers — each carry needs its own
+            c = jax.tree_util.tree_map(jnp.copy, c)
+        return c
+
+    run = streaming.make_slam_scan_runner(cfg, laser2body=lb,
+                                          donate=args.donate)
 
     t0 = time.time()
-    carry, aux = run(carry0, stacked)
+    carry, aux = run(make_carry(), stacked)
     jax.block_until_ready(aux["centroid"])
     compile_s = time.time() - t0
 
     dt = float("inf")
     for _ in range(args.repeats):
+        carry0 = make_carry()
+        jax.block_until_ready(carry0.pool.mean)
         t0 = time.time()
         carry, aux = run(carry0, stacked)
         jax.block_until_ready(aux["centroid"])

@@ -174,11 +174,13 @@ class Config:
     # never on the actual device count — so runs are bit-identical
     # across mesh sizes.  1 = global allocation (single-chip default).
     map_pool_shards: int = 1
-    # scan-merge implementation for per-particle maps: 'pallas' = the
-    # per-block streaming kernel (ops.pallas_merge — DMAs each
-    # particle's active block through VMEM, one-hot MXU accumulation,
-    # no gather/scatter); 'xla' = dedup + gather/scatter; 'auto' =
-    # pallas on TPU for colourless pools, xla otherwise.  Meshed
-    # streaming currently forces 'xla' (a Mosaic call cannot be
-    # auto-partitioned over the sharded pool).
+    # per-particle map-pool kernel selection (scan merges AND chain
+    # lookups): 'pallas' = the per-block streaming kernels
+    # (ops.pallas_merge / ops.pallas_chain — DMA each particle's
+    # blocks through VMEM via scalar-prefetched index maps, one-hot MXU
+    # accumulation/gather, no XLA gather/scatter); 'xla' = the
+    # gather/scatter formulations; 'auto' = pallas on TPU for
+    # colourless pools, xla otherwise.  On a mesh, merges run the
+    # kernel shard-locally when map_pool_shards == mesh size; chain
+    # lookups fall back to 'xla' (chain tails may be remote).
     merge_kernel: str = "auto"

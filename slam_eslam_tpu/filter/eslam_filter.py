@@ -200,7 +200,7 @@ class EmbodiedSlamFilter:
                 lookup = (
                     make_lookup(cfg, map_state)
                     if shared
-                    else mp.chain_lookup(map_state, cfg.mls_z_window)
+                    else mp.make_chain_lookup(map_state, cfg.mls_z_window)
                 )
                 terrain_prob = None
                 if use_slip:

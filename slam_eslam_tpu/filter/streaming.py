@@ -137,6 +137,10 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
         merge_kernel, merge_mesh = cfg.merge_kernel, mesh
     else:
         merge_kernel, merge_mesh = "xla", None
+    # chain lookups keep the XLA gather path: the chain kernel's Mosaic
+    # compile hangs this toolchain (see map_pool.make_chain_lookup) and
+    # chain tails may reference remote blocks on a mesh anyway
+    chain_kernel = "auto"
     l_rot = (jnp.eye(3, dtype=jnp.float32) if laser2body is None
              else jnp.asarray(laser2body[0], jnp.float32))
     l_trans = (jnp.zeros(3, jnp.float32) if laser2body is None
@@ -185,7 +189,9 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
 
         def do_meas(op):
             st, pool = op
-            lookup = mp.chain_lookup(pool, cfg.mls_z_window)
+            lookup = mp.make_chain_lookup(
+                pool, cfg.mls_z_window, kernel=chain_kernel
+            )
             st, aux = pe.update(st, cs, q, lookup, cfg)
             # chains follow the resampled particles (identity index when
             # the ESS branch did not fire) — replaces cloneMaps
@@ -353,12 +359,16 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
 def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
                           match=None, update=True, mesh=None,
                           camera2body=None, camera_intrinsics=None,
-                          camera_texture=False):
+                          camera_texture=False, donate=False):
     """Roll a whole frame stream through the fused SLAM step on device.
 
     ``run(carry, frames) -> (carry, aux)`` — ``frames`` is the per-frame
     input pytree of ``make_slam_step`` with a leading time axis.  One
     dispatch per trajectory; all gating happens on device.
+
+    ``donate=True`` donates the carry (filter + map pool) to the call —
+    halves peak HBM for large pools (the input pool buffer is reused
+    for the output) at the cost of invalidating the passed-in carry.
     """
     step = make_slam_step(cfg, laser2body=laser2body, hash_=hash_,
                           match=match, update=update, mesh=mesh,
@@ -366,7 +376,7 @@ def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
                           camera_intrinsics=camera_intrinsics,
                           camera_texture=camera_texture)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run(carry: StreamingState, frames):
         return jax.lax.scan(step, carry, frames)
 

@@ -367,6 +367,40 @@ def chain_lookup(pool: MapPool, z_window=3.0):
     return lookup
 
 
+def make_chain_lookup(pool: MapPool, z_window=3.0, kernel="auto"):
+    """Chain-lookup factory for the pose estimator (per-particle mode).
+
+    ``kernel='pallas'``: the streaming per-block kernel
+    (``ops.pallas_chain`` — DMAs each particle's chain blocks through
+    VMEM, no gathers; colour-free pools).  ``'xla'``: the vmapped
+    gather ``chain_lookup``.  ``'auto'`` currently resolves to 'xla':
+    the chain kernel is semantics-verified in interpret mode but its
+    Mosaic compile HANGS this environment's remote compile helper
+    (>15 min, no diagnostic) — opt in explicitly on toolchains where
+    it compiles.  The returned callable follows the ``update_weights``
+    lookup seam (``batched`` attr set accordingly).
+    """
+    if kernel == "auto":
+        kernel = "xla"
+    if kernel != "pallas" or pool.color is not None:
+        return chain_lookup(pool, z_window)
+
+    from slam_eslam_tpu.ops import pallas_chain
+
+    def lookup(map_id, points):
+        chain = pool.chain[map_id]
+        f, m, s = pallas_chain.chain_lookup_blocks(
+            pool.mean, pool.stdev, pool.valid, chain, pool.origin,
+            pool.resolution, points, k=pool.k, z_window=z_window,
+            interpret=jax.default_backend() == "cpu",
+        )
+        color = jnp.zeros(points.shape[:-1] + (3,), m.dtype)
+        return f, m, s, color
+
+    lookup.batched = True
+    return lookup
+
+
 def _block_get_patch(pool: MapPool, b, points, z_window, with_color=False):
     origin = pool.origin[b]
     rel = (points[..., :2] - origin) / pool.resolution

@@ -37,10 +37,13 @@ from slam_eslam_tpu.utils import geometry
 
 class OnlineSlam:
     def __init__(self, config: Config = None, laser2body=None,
-                 keyframe_kw=None, mesh=None):
+                 keyframe_kw=None, mesh=None, camera2body=None,
+                 camera_intrinsics=None):
         self.filter = EmbodiedSlamFilter(config=config)
         self.keyframes = KeyframeManager(**(keyframe_kw or {}))
         self.laser2body = laser2body
+        self.camera2body = camera2body
+        self.camera_intrinsics = camera_intrinsics
         self.mesh = mesh
 
     def init(self, pose, **kw):
@@ -54,13 +57,15 @@ class OnlineSlam:
         keyframe manager on the host.  Returns the streaming ``aux``.
         """
         aux = self.filter.run_stream(
-            frames, laser2body=self.laser2body, mesh=self.mesh
+            frames, laser2body=self.laser2body, mesh=self.mesh,
+            camera2body=self.camera2body,
+            camera_intrinsics=self.camera_intrinsics,
         )
         mapped = np.asarray(aux["mapped"])
         if not mapped.any():
             return aux
         cents = np.asarray(aux["centroid"])
-        cs, qs, _pos, ranges, scan_meta, _has = frames
+        cs, qs, _pos, ranges, scan_meta, _has = frames[:6]
         l_rot = (jnp.eye(3, dtype=jnp.float32) if self.laser2body is None
                  else jnp.asarray(self.laser2body[0], jnp.float32))
         l_trans = (jnp.zeros(3, jnp.float32) if self.laser2body is None

@@ -257,6 +257,55 @@ class TestFusedMergeMatch:
             atol=1e-6,
         )
 
+    def test_pallas_chain_lookup_matches_xla(self):
+        """The streaming chain-lookup kernel (interpret mode on CPU)
+        must reproduce the vmapped XLA chain_lookup: same hits, same
+        selected patches, head-first chain priority, empty chain
+        entries skipped."""
+        from slam_eslam_tpu.ops import pallas_chain
+
+        pool = make_pool(n=4, b=10, with_color=False)
+        cloud = self._cloud(n=48, z=1.0)
+        pool = mp.merge_cloud_all(
+            pool, jnp.zeros((4, 2)), jnp.zeros(4),
+            jnp.array([0.0, 10.0, 0.0, 0.0]), jnp.zeros(4), cloud, 1,
+            kernel="xla",
+        )
+        # grow particle 1's chain so a tail level must resolve
+        pool, _ = mp.rollover(
+            pool, jnp.array([[0.0, 0.0], [8.0, 0.0], [0.0, 0.0],
+                             [0.0, 0.0]]), threshold=3.0,
+        )
+        # queries: on-cloud points (hits incl. through the chain tail),
+        # plus out-of-bounds and out-of-z-window misses
+        base = jnp.concatenate(
+            [cloud.xy[:12], jnp.full((12, 1), 1.0)], axis=1
+        )
+        pts = jnp.stack([
+            base,                                        # z = 1 hits p0
+            base.at[:, 2].set(11.0),                     # hits p1 tail
+            base.at[:, 0].add(20.0),                     # out of bounds
+            base.at[:, 2].set(6.0),                      # z-window miss
+        ], axis=0)
+
+        ref = mp.chain_lookup(pool, z_window=3.0)
+        rf, rm, rs, _ = jax.vmap(ref)(jnp.arange(4), pts)
+        kf, km, ks = pallas_chain.chain_lookup_blocks(
+            pool.mean, pool.stdev, pool.valid, pool.chain, pool.origin,
+            pool.resolution, pts, k=pool.k, z_window=3.0,
+            interpret=True,
+        )
+        f = np.asarray(rf)
+        assert f[0].sum() == 12 and f[1].sum() == 12, "fixture weak"
+        assert f[2].sum() == 0 and f[3].sum() == 0
+        np.testing.assert_array_equal(f, np.asarray(kf))
+        np.testing.assert_allclose(
+            np.asarray(km)[f], np.asarray(rm)[f], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ks)[f], np.asarray(rs)[f], rtol=1e-6
+        )
+
     def test_jit_merge(self):
         pool = make_pool()
         cloud = self._cloud()
