@@ -137,10 +137,10 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
         merge_kernel, merge_mesh = cfg.merge_kernel, mesh
     else:
         merge_kernel, merge_mesh = "xla", None
-    # chain lookups keep the XLA gather path: the chain kernel's Mosaic
-    # compile hangs this toolchain (see map_pool.make_chain_lookup) and
-    # chain tails may reference remote blocks on a mesh anyway
-    chain_kernel = "auto"
+    # chain lookups follow the same knob as merges; on a mesh they
+    # keep the XLA gather (a Mosaic kernel cannot be auto-partitioned
+    # and chain tails may reference remote blocks after migration)
+    chain_kernel = cfg.merge_kernel if mesh is None else "xla"
     l_rot = (jnp.eye(3, dtype=jnp.float32) if laser2body is None
              else jnp.asarray(laser2body[0], jnp.float32))
     l_trans = (jnp.zeros(3, jnp.float32) if laser2body is None

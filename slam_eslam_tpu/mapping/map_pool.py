@@ -373,15 +373,22 @@ def make_chain_lookup(pool: MapPool, z_window=3.0, kernel="auto"):
     ``kernel='pallas'``: the streaming per-block kernel
     (``ops.pallas_chain`` — DMAs each particle's chain blocks through
     VMEM, no gathers; colour-free pools).  ``'xla'``: the vmapped
-    gather ``chain_lookup``.  ``'auto'`` currently resolves to 'xla':
-    the chain kernel is semantics-verified in interpret mode but its
-    Mosaic compile HANGS this environment's remote compile helper
-    (>15 min, no diagnostic) — opt in explicitly on toolchains where
-    it compiles.  The returned callable follows the ``update_weights``
-    lookup seam (``batched`` attr set accordingly).
+    gather ``chain_lookup``.  ``'auto'``: pallas on the TPU backend
+    for colour-free pools, xla otherwise (on CPU the kernel only runs
+    in interpret mode — slower than the gather; colour pools read
+    patch RGB, which the kernel does not stream).  The returned
+    callable follows the ``update_weights`` lookup seam (``batched``
+    attr set accordingly).
+
+    Round-2 note: this kernel's compile once appeared to hang the
+    remote compile helper; the cause was request-payload overflow when
+    the pool rode into the graph as a CONSTANT (~100 MB of literals,
+    HTTP 413).  With the pool as an argument (every production step)
+    it compiles in <1 s — see ``tools/probe_chain_parity.py``.
     """
     if kernel == "auto":
-        kernel = "xla"
+        on_tpu = jax.default_backend() == "tpu"
+        kernel = "pallas" if (on_tpu and pool.color is None) else "xla"
     if kernel != "pallas" or pool.color is not None:
         return chain_lookup(pool, z_window)
 

@@ -33,11 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e38
 
 
-def _chain_kernel(chain_ref, par_ref, lxy_ref, z_ref, *refs, nx, ny, k,
+def _chain_kernel(chain_ref, lxy_ref, z_ref, *refs, nx, ny, k,
                   levels, z_window):
+    # chain_ref is FLAT [N*L] int32: a rank-2 [N, L] scalar-prefetch
+    # operand is lane-padded to [N, 128] in SMEM (2 MB at N=4096 —
+    # over the 1 MB SMEM budget); the flat layout stays N*L words
     out_ref = refs[-1]
     field_refs = refs[:-1]                 # mean_0, std_0, val_0, mean_1..
-    del par_ref
     i = pl.program_id(0)
     nyk = ny * k
     nq = z_ref.shape[1]
@@ -87,7 +89,7 @@ def _chain_kernel(chain_ref, par_ref, lxy_ref, z_ref, *refs, nx, ny, k,
         s_l = jnp.sum(jnp.where(bm, rows_s, 0.0), axis=1, keepdims=True)
         f_l = (best < _BIG / 2).astype(jnp.float32)
         # chain entry may be empty (-1): the whole level is void then
-        ch_ok = (chain_ref[i, l] >= 0).astype(jnp.float32)
+        ch_ok = (chain_ref[i * levels + l] >= 0).astype(jnp.float32)
         use = f_l * ch_ok * (1.0 - found)
         mean = mean + use * m_l
         stdev = stdev + use * s_l
@@ -132,13 +134,13 @@ def chain_lookup_blocks(mean, stdev, valid, chain, origin, resolution,
 
     field_spec = lambda l: pl.BlockSpec(
         (1, nx, nyk),
-        lambda i, ch, par, l=l: (jnp.maximum(ch[i, l], 0), 0, 0),
+        lambda i, ch, l=l: (jnp.maximum(ch[i * levels + l], 0), 0, 0),
         memory_space=pltpu.VMEM,
     )
     in_specs = [
-        pl.BlockSpec((1, levels * nq, 1), lambda i, ch, par: (i, 0, 0),
+        pl.BlockSpec((1, levels * nq, 1), lambda i, ch: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nq, 1), lambda i, ch, par: (i, 0, 0),
+        pl.BlockSpec((1, nq, 1), lambda i, ch: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for l in range(levels):
@@ -148,10 +150,10 @@ def chain_lookup_blocks(mean, stdev, valid, chain, origin, resolution,
         fields += [mean, stdev, valid]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nq, 3), lambda i, ch, par: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, nq, 3), lambda i, ch: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -162,7 +164,6 @@ def chain_lookup_blocks(mean, stdev, valid, chain, origin, resolution,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, nq, 3), jnp.float32),
         interpret=interpret,
-    )(chain.astype(jnp.int32), jnp.zeros((1,), jnp.int32),
-      lxy_t, z_t, *fields)
+    )(chain.reshape(-1).astype(jnp.int32), lxy_t, z_t, *fields)
     out = out[:, :nq_in]
     return out[..., 0] > 0.5, out[..., 1], out[..., 2]
