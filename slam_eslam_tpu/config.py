@@ -184,3 +184,11 @@ class Config:
     # kernel shard-locally when map_pool_shards == mesh size; chain
     # lookups fall back to 'xla' (chain tails may be remote).
     merge_kernel: str = "auto"
+    # per-particle map-CHAIN lookup kernel (the measurement update's
+    # ``MLSMap::getPatch`` path, ``PoseEstimator.hpp:97-105``):
+    # 'pallas' = ops.pallas_chain block streaming; 'xla' = the vmapped
+    # gather; 'auto' = pallas on the TPU backend for colour-free pools,
+    # xla otherwise.  Separate from ``merge_kernel`` so an explicit
+    # merge-kernel choice on a CPU run cannot silently route chain
+    # lookups through interpret-mode Pallas (advisor round 2).
+    chain_kernel: str = "auto"

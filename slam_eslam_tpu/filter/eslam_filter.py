@@ -200,7 +200,10 @@ class EmbodiedSlamFilter:
                 lookup = (
                     make_lookup(cfg, map_state)
                     if shared
-                    else mp.make_chain_lookup(map_state, cfg.mls_z_window)
+                    else mp.make_chain_lookup(
+                        map_state, cfg.mls_z_window,
+                        kernel=cfg.chain_kernel,
+                    )
                 )
                 terrain_prob = None
                 if use_slip:
@@ -242,7 +245,7 @@ class EmbodiedSlamFilter:
             threshold = cfg.grid_size / 2.0 * cfg.grid_threshold
 
             @jax.jit
-            def f(state, pool, cloud, update_idx):
+            def f(state, pool, cloud, update_idx, free_pts, free_mask):
                 p = state.particles
                 n_failed = jnp.zeros((), jnp.int32)
                 if update:
@@ -255,6 +258,12 @@ class EmbodiedSlamFilter:
                     )
                     pool = pool_u
                     n_failed = f1 + f2
+                    if free_pts is not None:
+                        # laser-path negative information
+                        # (EmbodiedSlamFilter.cpp:160)
+                        pool = mp.apply_negative_cloud_all(
+                            pool, p.xy, p.yaw, p.z, free_pts, free_mask
+                        )
                 if match:
                     w = mp.match_cloud_all(
                         pool, p.xy, p.yaw, p.z, p.z_sigma, cloud,
@@ -388,19 +397,26 @@ class EmbodiedSlamFilter:
             return False
 
         q = jnp.asarray(q_np, jnp.float32)
+        l_rot = jnp.asarray(laser2body[0], jnp.float32)
+        l_trans = jnp.asarray(laser2body[1], jnp.float32)
         pts, valid = projection.scan_to_points(
             scan, self.config.max_sensor_range
         )
-        cloud = projection.project_points(
-            pts, valid,
-            jnp.asarray(laser2body[0], jnp.float32),
-            jnp.asarray(laser2body[1], jnp.float32),
-            q,
-        )
+        cloud = projection.project_points(pts, valid, l_rot, l_trans, q)
+        update = not self.use_shared_map
+        free = None
+        if update and self.config.grid_use_negative_information:
+            # the reference's only negative-information site is the
+            # laser MLSProjection (EmbodiedSlamFilter.cpp:160); it only
+            # has effect where the scan map is merged (per-particle mode)
+            free = projection.free_space_points(
+                pts, valid, l_rot, l_trans, q
+            )
         self.process_map(
             cloud,
             match=self.config.use_visual_update,
-            update=not self.use_shared_map,
+            update=update,
+            free=free,
         )
         self.map_pose = pose
         return True
@@ -435,22 +451,10 @@ class EmbodiedSlamFilter:
         cloud = projection.project_points(
             pts, valid, cam_rot, cam_trans, q, color=color,
         )
-        if self.use_shared_map and self.config.grid_use_negative_information:
-            free, fmask = projection.free_space_points(
-                pts, valid, cam_rot, cam_trans, q
-            )
-            pos, quat = self.get_centroid()
-            # free-space samples are in the yaw-compensated body frame;
-            # lift to world via the centroid pose
-            yaw = geometry.yaw_from_quat(quat)
-            r2 = geometry.rot2d(yaw)
-            free_w = jnp.concatenate(
-                [free[:, :2] @ r2.T + jnp.asarray(pos[:2]),
-                 (free[:, 2] + pos[2])[:, None]], axis=1,
-            )
-            self.shared_grid = mls_grid.apply_negative_points(
-                self.shared_grid, free_w, fmask
-            )
+        # NOTE: no negative information here — the reference's camera
+        # MLSProjection (distMlsOp) does NOT enable it
+        # (EmbodiedSlamFilter.cpp:172-176); only the laser path does
+        # (:160, see update_scan)
         if self.use_shared_map:
             # no per-particle pool exists; merging into the shared grid
             # is a single merge under the centroid pose
@@ -563,10 +567,13 @@ class EmbodiedSlamFilter:
         (stub returning false, ``EmbodiedSlamFilter.cpp:234-237``)."""
         return False
 
-    def process_map(self, cloud: mls_grid.PatchCloud, match, update):
+    def process_map(self, cloud: mls_grid.PatchCloud, match, update,
+                    free=None):
         """Per-particle scan match / map merge
         (``EmbodiedSlamFilter::processMap``,
-        ``EmbodiedSlamFilter.cpp:179-232``)."""
+        ``EmbodiedSlamFilter.cpp:179-232``).  ``free``: optional
+        ``(points [F, 3], mask [F])`` free-space samples for the
+        laser path's negative information (applied before the merge)."""
         if self.pool is None:
             if match:
                 # shared map: match against the shared grid
@@ -588,8 +595,10 @@ class EmbodiedSlamFilter:
                 )
             return
         fn = self._process_map_fn(match, update)
+        free_pts, free_mask = free if free is not None else (None, None)
         state, pool, n_failed = fn(
-            self.state, self.pool, cloud, self.update_idx
+            self.state, self.pool, cloud, self.update_idx,
+            free_pts, free_mask,
         )
         self.state, self.pool = state, pool
         if update:

@@ -137,10 +137,11 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
         merge_kernel, merge_mesh = cfg.merge_kernel, mesh
     else:
         merge_kernel, merge_mesh = "xla", None
-    # chain lookups follow the same knob as merges; on a mesh they
+    # chain lookups have their own knob (cfg.chain_kernel; 'auto'
+    # resolves per backend inside make_chain_lookup); on a mesh they
     # keep the XLA gather (a Mosaic kernel cannot be auto-partitioned
     # and chain tails may reference remote blocks after migration)
-    chain_kernel = cfg.merge_kernel if mesh is None else "xla"
+    chain_kernel = cfg.chain_kernel if mesh is None else "xla"
     l_rot = (jnp.eye(3, dtype=jnp.float32) if laser2body is None
              else jnp.asarray(laser2body[0], jnp.float32))
     l_trans = (jnp.zeros(3, jnp.float32) if laser2body is None
@@ -239,6 +240,12 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
         )
         pts, valid = projection.scan_to_points(scan, cfg.max_sensor_range)
         cloud = projection.project_points(pts, valid, l_rot, l_trans, q)
+        if update and cfg.grid_use_negative_information:
+            # negative information rides the LASER path only
+            # (EmbodiedSlamFilter.cpp:160; the camera distMlsOp has none)
+            free_pts, free_mask = projection.free_space_points(
+                pts, valid, l_rot, l_trans, q
+            )
 
         def do_mapping(op):
             st, pool, update_idx, failed = op
@@ -250,6 +257,10 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
                 pool, f2 = mp.rollover(pool, p.xy, threshold,
                                        shards=cfg.map_pool_shards)
                 failed = failed + f1 + f2
+                if cfg.grid_use_negative_information:
+                    pool = mp.apply_negative_cloud_all(
+                        pool, p.xy, p.yaw, p.z, free_pts, free_mask
+                    )
             if match:
                 w = mp.match_cloud_all(
                     pool, p.xy, p.yaw, p.z, p.z_sigma, cloud,

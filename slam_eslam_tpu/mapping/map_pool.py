@@ -399,7 +399,9 @@ def make_chain_lookup(pool: MapPool, z_window=3.0, kernel="auto"):
         f, m, s = pallas_chain.chain_lookup_blocks(
             pool.mean, pool.stdev, pool.valid, chain, pool.origin,
             pool.resolution, points, k=pool.k, z_window=z_window,
-            interpret=jax.default_backend() == "cpu",
+            # the Mosaic kernel only compiles on TPU; every other
+            # backend (CPU tests, GPU) runs the interpreter
+            interpret=jax.default_backend() != "tpu",
         )
         color = jnp.zeros(points.shape[:-1] + (3,), m.dtype)
         return f, m, s, color
@@ -500,7 +502,7 @@ def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
         call = partial(
             pallas_merge.merge_blocks, k=pool.k,
             patch_thickness=patch_thickness, gap_size=gap_size,
-            interpret=jax.default_backend() == "cpu",
+            interpret=jax.default_backend() != "tpu",
         )
         if mesh is None:
             out = call(
@@ -597,6 +599,59 @@ def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
             sblk[..., None], cx[..., None], idx3
         ].set(cell_colors, mode="drop")
     return dataclasses.replace(pool, **new)
+
+
+def apply_negative_cloud_all(pool: MapPool, xy, yaw, z_offset, points,
+                             mask, z_margin=0.15):
+    """Negative information on every particle's active grid at once.
+
+    The reference enables ``useNegativeInformation`` on the LASER
+    MLSProjection only (``EmbodiedSlamFilter.cpp:160``; the camera
+    ``distMlsOp`` does not, ``:172-176``): free space observed along
+    scan rays invalidates contradicted map patches when the scan merges
+    into the per-particle grids.  This is the fused per-particle
+    equivalent — ``points [F, 3]`` free-space samples in the
+    yaw-compensated body frame (``projection.free_space_points``) are
+    transformed by each particle pose and any ACTIVE-block patch whose
+    mean lies within ``z_margin`` of a sample is removed (merges only
+    ever write the active grid, so only it accumulates stale patches).
+
+    Call after ``ensure_unique_active`` (shared heads would erase
+    patches for sibling particles) and before ``merge_cloud_all`` (the
+    fresh scan's own patches must survive; free samples stop short of
+    the hit surface, but erase-then-write is the safe order).
+    """
+    n, f = pool.n, points.shape[0]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    px, py = points[:, 0], points[:, 1]
+    wx = c[:, None] * px[None, :] - s[:, None] * py[None, :] + xy[:, 0:1]
+    wy = s[:, None] * px[None, :] + c[:, None] * py[None, :] + xy[:, 1:2]
+    wz = points[None, :, 2] + z_offset[:, None]          # [N, F]
+
+    active = pool.active()                               # [N]
+    origin = pool.origin[active]
+    ix = jnp.floor((wx - origin[:, 0:1]) / pool.resolution).astype(jnp.int32)
+    iy = jnp.floor((wy - origin[:, 1:2]) / pool.resolution).astype(jnp.int32)
+    inb = (ix >= 0) & (ix < pool.nx) & (iy >= 0) & (iy < pool.ny)
+    m = inb & mask[None, :]                              # [N, F]
+
+    cx = jnp.where(m, ix, 0)
+    idx = jnp.where(m, iy, 0)[..., None] * pool.k + jnp.arange(
+        pool.k, dtype=jnp.int32
+    )                                                    # [N, F, K]
+    gblk = active[:, None, None]
+    means = pool.mean[gblk, cx[..., None], idx]          # [N, F, K]
+    valids = pool.valid[gblk, cx[..., None], idx] != 0
+    hit = (
+        valids
+        & (jnp.abs(means - wz[..., None]) <= z_margin)
+        & m[..., None]
+    )
+    sblk = jnp.where(m, active[:, None], pool.b)[..., None]  # OOB -> drop
+    hits = jnp.zeros_like(pool.valid).at[
+        sblk, cx[..., None], idx
+    ].max(hit.astype(pool.valid.dtype), mode="drop")
+    return dataclasses.replace(pool, valid=pool.valid * (1 - hits))
 
 
 def match_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,

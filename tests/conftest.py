@@ -11,12 +11,17 @@ import os
 # Force CPU: the ambient environment points JAX_PLATFORMS at the 'axon'
 # TPU tunnel, which dispatches each op over the wire — tests must not
 # use it.  (bench.py, by contrast, runs on the real chip.)
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Exception: SLAM_TPU_TESTS=1 keeps the real backend so the TPU-marked
+# suite (tests/test_tpu.py — compiled Mosaic kernel parity) can run on
+# hardware; remember the one-TPU-process-at-a-time rule.
+_TPU_TESTS = bool(os.environ.get("SLAM_TPU_TESTS"))
+if not _TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
@@ -25,7 +30,8 @@ import pytest  # noqa: E402
 # the axon sitecustomize overrides the platform via jax.config at
 # interpreter start; env vars alone do NOT stick.  Re-override before
 # any backend initialises.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 
 # XLA compiles are slow on this host (~0.5 s per tiny executable); the
 # persistent cache makes re-runs cheap.

@@ -319,9 +319,14 @@ class TestDistanceImageMapping:
         assert len(touched) > 0
         np.testing.assert_allclose(touched[0], [0.9, 0.1, 0.0], atol=0.05)
 
-    def test_negative_information_camera_path(self):
-        """gridUseNegativeInformation: free-space along camera rays
-        erases contradicted patches in the shared map."""
+    def test_no_negative_information_on_camera_path(self):
+        """The reference enables negative information ONLY on the laser
+        MLSProjection (``EmbodiedSlamFilter.cpp:160``); the camera
+        ``distMlsOp`` does NOT (``:172-176``) — a phantom patch in the
+        camera's free-space corridor must SURVIVE a distance-image
+        update even with ``grid_use_negative_information=True``.
+        (The laser-path behavior is covered by
+        ``test_streaming.TestNegativeInformationE2E``.)"""
         cfg = small_config(n=8, grid_use_negative_information=True)
         f = EmbodiedSlamFilter(config=cfg)
         grid = simlib.terrain_grid(
@@ -352,4 +357,6 @@ class TestDistanceImageMapping:
             f.shared_grid,
             jnpp.array([[0.0, 0.6, 0.9]]), 0.1,
         )
-        assert not bool(found[0]), "phantom patch should be erased"
+        assert bool(found[0]), (
+            "camera path must not erase patches (laser-only feature)"
+        )

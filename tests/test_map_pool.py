@@ -317,3 +317,70 @@ class TestFusedMergeMatch:
         )
         out = f(pool, cloud)
         assert int(jnp.sum(out.valid)) > 0
+
+
+class TestNegativeInformation:
+    """Laser-path negative information on per-particle active grids
+    (``EmbodiedSlamFilter.cpp:160``; config doc
+    ``src/Configuration.hpp:190-193``)."""
+
+    def test_contradicted_patch_removed_per_particle(self):
+        pool = make_pool(n=2, with_color=False)
+        # stale patches: particle 0 at world (1, 1, z=2); particle 1 at
+        # world (-2, 0, z=0.5)
+        pool = write_cell(pool, 0, 1.0, 1.0, 2.0)
+        pool = write_cell(pool, 1, -2.0, 0.0, 0.5)
+
+        # free-space samples in the body frame; particle poses differ
+        xy = jnp.array([[0.0, 0.0], [-3.0, 0.0]])
+        yaw = jnp.zeros(2)
+        z = jnp.array([0.0, 0.5])
+        # body-frame point (1, 1, 2.0) -> p0 world (1, 1, 2.0) HIT;
+        #                              -> p1 world (-2, 1, 2.5) miss
+        # body-frame point (1, 0, 0.0) -> p0 world (1, 0, 0.0) no patch;
+        #                              -> p1 world (-2, 0, 0.5) HIT
+        pts = jnp.array([[1.0, 1.0, 2.0], [1.0, 0.0, 0.0]])
+        mask = jnp.ones(2, bool)
+        out = mp.apply_negative_cloud_all(pool, xy, yaw, z, pts, mask)
+
+        lookup = mp.chain_lookup(out)
+        f0, _, _, _ = lookup(0, jnp.array([[1.0, 1.0, 2.0]]))
+        f1, _, _, _ = lookup(1, jnp.array([[-2.0, 0.0, 0.5]]))
+        assert not bool(f0[0]), "particle 0's contradicted patch survives"
+        assert not bool(f1[0]), "particle 1's contradicted patch survives"
+
+    def test_z_margin_and_mask_respected(self):
+        pool = make_pool(n=1, with_color=False)
+        pool = write_cell(pool, 0, 1.0, 1.0, 2.0)
+        xy, yaw, z = jnp.zeros((1, 2)), jnp.zeros(1), jnp.zeros(1)
+
+        # sample 0.5 m below the patch: outside the 0.15 m margin
+        out = mp.apply_negative_cloud_all(
+            pool, xy, yaw, z, jnp.array([[1.0, 1.0, 1.5]]),
+            jnp.ones(1, bool),
+        )
+        f, _, _, _ = mp.chain_lookup(out)(0, jnp.array([[1.0, 1.0, 2.0]]))
+        assert bool(f[0]), "sample outside z_margin must not erase"
+
+        # masked-off sample never erases
+        out = mp.apply_negative_cloud_all(
+            pool, xy, yaw, z, jnp.array([[1.0, 1.0, 2.0]]),
+            jnp.zeros(1, bool),
+        )
+        f, _, _, _ = mp.chain_lookup(out)(0, jnp.array([[1.0, 1.0, 2.0]]))
+        assert bool(f[0]), "masked sample must not erase"
+
+    def test_only_active_block_touched(self):
+        # a patch in a chain TAIL block (not head) must survive: merges
+        # only write the active grid, so only it can hold stale patches
+        pool = make_pool(n=1, b=10, with_color=False)
+        pool = write_cell(pool, 5, 1.0, 1.0, 2.0)
+        pool = dataclasses.replace(
+            pool, chain=jnp.array([[0, 5, -1]], jnp.int32)
+        )
+        out = mp.apply_negative_cloud_all(
+            pool, jnp.zeros((1, 2)), jnp.zeros(1), jnp.zeros(1),
+            jnp.array([[1.0, 1.0, 2.0]]), jnp.ones(1, bool),
+        )
+        f, _, _, _ = mp.chain_lookup(out)(0, jnp.array([[1.0, 1.0, 2.0]]))
+        assert bool(f[0]), "tail-block patch must survive negative info"

@@ -749,3 +749,85 @@ class TestStreamingSlam:
         assert aux["centroid"].shape == (len(frames), 3)
         assert bool(np.isfinite(
             np.asarray(carry.filter.particles.weight)).all())
+
+
+class TestNegativeInformationE2E:
+    """Scripted-ray negative information in per-particle mode: a stale
+    patch on the ray path is removed when
+    ``grid_use_negative_information=True`` (laser path only,
+    ``EmbodiedSlamFilter.cpp:160``)."""
+
+    STALE_XY = (1.0, 0.0)   # on the forward ray, inside free space
+    Z0 = 0.3
+
+    def _filter(self, neg, n=8):
+        cfg = dataclasses.replace(
+            _cfg(n),
+            grid_use_negative_information=neg,
+            initial_translation_error=(1e-4, 1e-4, 0.0),
+            initial_rotation_error=(0.0, 0.0, 1e-4),
+        )
+        f = EmbodiedSlamFilter(config=cfg)
+        f.init(pose=(np.array([0.0, 0.0, self.Z0]), 0.0),
+               use_shared_map=False)
+        # seed the stale patch into every particle's active block at
+        # the particle z (free samples ride at ray height ~= p.z)
+        import slam_eslam_tpu.mapping.map_pool as mp
+        from tests.test_map_pool import write_cell
+
+        for b in range(n):
+            f.pool = write_cell(f.pool, b, *self.STALE_XY, self.Z0)
+        return cfg, f
+
+    def _stale_found(self, f):
+        import slam_eslam_tpu.mapping.map_pool as mp
+
+        lookup = mp.chain_lookup(f.pool)
+        pts = jnp.array([[*self.STALE_XY, self.Z0]])
+        found = [
+            bool(lookup(i, pts)[0][0]) for i in range(f.pool.n)
+        ]
+        return np.mean(found)
+
+    def test_host_laser_path(self):
+        for neg, expect_gone in [(True, True), (False, False)]:
+            cfg, f = self._filter(neg)
+            assert self._stale_found(f) == 1.0
+            fired = f.update_scan(
+                (np.array([1.0, 0, 0, 0]), np.zeros(3)), _scan(),
+                (np.eye(3), np.zeros(3)),
+            )
+            assert fired
+            frac = self._stale_found(f)
+            if expect_gone:
+                assert frac == 0.0, (
+                    f"stale patch survived the negative pass ({frac})"
+                )
+            else:
+                assert frac == 1.0, "patch erased with the flag off"
+
+    def test_streaming_laser_path(self):
+        for neg, expect_gone in [(True, True), (False, False)]:
+            cfg, f = self._filter(neg)
+            sim = AsguardSim(terrain=lambda x, y: np.zeros_like(
+                np.asarray(x, float)
+            ))
+            q = np.array([1.0, 0, 0, 0], np.float32)
+            frames = [(
+                sim.contact_state(), jnp.asarray(q),
+                jnp.zeros(3, jnp.float32),
+                jnp.full((N_RAYS,), 2.0, jnp.float32),
+                SCAN_META, jnp.asarray(True),
+            )]
+            aux = f.run_stream(
+                streaming.stack_frames(frames),
+                laser2body=(np.eye(3), np.zeros(3)),
+            )
+            assert int(np.asarray(aux["mapped"]).sum()) == 1
+            frac = self._stale_found(f)
+            if expect_gone:
+                assert frac == 0.0, (
+                    f"stale patch survived streaming negative pass ({frac})"
+                )
+            else:
+                assert frac == 1.0, "patch erased with the flag off"

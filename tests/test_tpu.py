@@ -1,0 +1,152 @@
+"""TPU-backend parity tests for the compiled Mosaic kernels.
+
+The regular suite runs the Pallas kernels in INTERPRET mode on CPU
+(`tests/conftest.py` forces the CPU backend); the compiled TPU path —
+the production default for per-particle SLAM — needs hardware.  Run on
+a TPU host with::
+
+    SLAM_TPU_TESTS=1 python -m pytest tests/test_tpu.py -q
+
+(one TPU process at a time; first run compiles via the remote helper,
+repeats hit the persistent cache).  These tests cover the
+``make_chain_lookup`` / ``merge_cloud_all`` kernel='pallas' paths the
+streaming SLAM loop uses by default on TPU (``Config.chain_kernel`` /
+``Config.merge_kernel`` = 'auto').
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SLAM_TPU_TESTS")
+    or jax.default_backend() not in ("tpu", "axon"),
+    reason="TPU-backend kernel tests: SLAM_TPU_TESTS=1 on a TPU host",
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cache():
+    from slam_eslam_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+
+def _pool(n=256, b=None, nx=40, ny=40, k=4, chain_len=3, seed=0):
+    from slam_eslam_tpu.mapping import map_pool as mp
+
+    b = b or n + 16
+    rng = np.random.default_rng(seed)
+    shape = (b, nx, ny * k)
+    return mp.MapPool(
+        mean=jnp.asarray(rng.normal(size=shape).astype(np.float32)),
+        stdev=jnp.asarray(
+            (0.01 + 0.2 * rng.random(shape)).astype(np.float32)
+        ),
+        height=jnp.zeros(shape, jnp.float32),
+        valid=jnp.asarray((rng.random(shape) < 0.5).astype(np.int32)),
+        horizontal=jnp.ones(shape, jnp.int32),
+        update_idx=jnp.zeros(shape, jnp.int32),
+        color=None,
+        origin=jnp.asarray((rng.normal(size=(b, 2)) * 2).astype(np.float32)),
+        allocated=jnp.ones((b,), bool),
+        chain=jnp.asarray(
+            np.where(
+                rng.random((n, chain_len)) < 0.8,
+                rng.integers(0, b, size=(n, chain_len)),
+                -1,
+            ).astype(np.int32)
+        ),
+        resolution=0.25,
+        nx=nx, ny=ny, k=k,
+    )
+
+
+class TestCompiledChainLookup:
+    def test_matches_xla_gather(self):
+        """Compiled Mosaic chain lookup == the XLA gather, at a
+        production-like shape (the default per-particle measurement
+        path, ``PoseEstimator.hpp:97-105`` equivalent)."""
+        from slam_eslam_tpu.mapping import map_pool as mp
+
+        pool = _pool()
+        rng = np.random.default_rng(1)
+        pts = jnp.asarray(
+            rng.normal(size=(pool.n, 8, 3)).astype(np.float32) * 3.0
+        )
+
+        @jax.jit
+        def kern(pool, pts):
+            lk = mp.make_chain_lookup(pool, kernel="pallas")
+            return lk(jnp.arange(pool.n), pts)[:3]
+
+        @jax.jit
+        def ref(pool, pts):
+            lk = mp.chain_lookup(pool)
+            f, m, s, _ = jax.vmap(lk)(jnp.arange(pool.n), pts)
+            return f, m, s
+
+        kf, km, ks = jax.block_until_ready(kern(pool, pts))
+        rf, rm, rs = jax.block_until_ready(ref(pool, pts))
+        f = np.asarray(rf)
+        assert f.sum() > 0, "fixture produced no hits"
+        np.testing.assert_array_equal(f, np.asarray(kf))
+        np.testing.assert_allclose(
+            np.asarray(km)[f], np.asarray(rm)[f], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ks)[f], np.asarray(rs)[f], rtol=1e-6
+        )
+
+
+class TestCompiledMerge:
+    def test_matches_xla_scatter(self):
+        """Compiled Mosaic block merge == the XLA dedup+scatter path."""
+        from slam_eslam_tpu.mapping import map_pool as mp
+        from slam_eslam_tpu.mapping.mls_grid import PatchCloud
+
+        pool = _pool(n=64)
+        rng = np.random.default_rng(2)
+        p = 64
+        cloud = PatchCloud.create(
+            xy=jnp.asarray(rng.normal(size=(p, 2)).astype(np.float32) * 3),
+            z=jnp.asarray(rng.normal(size=(p,)).astype(np.float32)),
+            stdev=jnp.full((p,), 0.05),
+            valid=jnp.ones((p,), bool),
+        )
+        xy = jnp.zeros((pool.n, 2))
+        yaw = jnp.zeros(pool.n)
+        zo = jnp.zeros(pool.n)
+        zs = jnp.full((pool.n,), 0.01)
+        # unique active heads (merge precondition)
+        pool = dataclasses.replace(
+            pool,
+            chain=pool.chain.at[:, 0].set(
+                jnp.arange(pool.n, dtype=jnp.int32)
+            ),
+        )
+
+        outs = {}
+        for kernel in ("pallas", "xla"):
+            out = jax.jit(
+                lambda pl_, kernel=kernel: mp.merge_cloud_all(
+                    pl_, xy, yaw, zo, zs, cloud, 7, kernel=kernel
+                )
+            )(pool)
+            outs[kernel] = jax.block_until_ready(out)
+        for fld in ("mean", "stdev", "height", "valid", "horizontal",
+                    "update_idx"):
+            a = np.asarray(getattr(outs["pallas"], fld))
+            b = np.asarray(getattr(outs["xla"], fld))
+            v = np.asarray(outs["xla"].valid) != 0
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(
+                    a[v], b[v], rtol=1e-5, atol=1e-6, err_msg=fld
+                )
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=fld)
