@@ -69,6 +69,24 @@ def main():
         "HBM for large pools (each repeat rebuilds the carry)",
     )
     ap.add_argument(
+        "--pool-dtype", choices=["float32", "bfloat16"],
+        default="float32", dest="pool_dtype",
+        help="(slam mode) storage dtype of the map pool's float patch "
+        "fields; bfloat16 = 10 B/patch-slot (fits 100k particles on "
+        "one v5e)",
+    )
+    ap.add_argument(
+        "--chain-kernel", choices=["auto", "pallas", "xla"],
+        default="auto", dest="chain_kernel",
+        help="(slam mode) per-particle map-chain lookup path "
+        "(measurement update); 'auto' = Pallas streaming kernel on TPU",
+    )
+    ap.add_argument(
+        "--merge-kernel", choices=["auto", "pallas", "xla"],
+        default="auto", dest="merge_kernel",
+        help="(slam mode) per-particle scan-merge path",
+    )
+    ap.add_argument(
         "--min-effective", type=int, default=-1, dest="min_effective",
         help="ESS resampling threshold (default: particles/5; 0 "
         "disables resampling — for stage attribution)",
@@ -261,6 +279,9 @@ def bench_slam(args):
         map_pool_blocks=n + 64,
         map_chain_length=3,
         map_pool_color=False,  # perf config: no slip/texture fusion
+        map_pool_dtype=args.pool_dtype,
+        chain_kernel=args.chain_kernel,
+        merge_kernel=args.merge_kernel,
         contact_model=ContactModelConfig(
             contact_point_radius=0.0, min_contacts=2
         ),
@@ -300,27 +321,30 @@ def bench_slam(args):
     stacked = streaming.stack_frames([tuple(fr) for fr in frame_list])
     frames = len(frame_list)
 
-    def make_carry():
-        c = streaming.StreamingState.create(f.state, f.pool)
-        if args.donate:
-            # donation consumes the buffers — each carry needs its own
-            c = jax.tree_util.tree_map(jnp.copy, c)
-        return c
-
     run = streaming.make_slam_scan_runner(cfg, laser2body=lb,
                                           donate=args.donate)
 
+    carry = streaming.StreamingState.create(f.state, f.pool)
+    if args.donate:
+        # donation consumes the carry buffers; the carry CHAINS through
+        # the repeats (output pool reuses the input pool's memory), so
+        # peak HBM is ONE pool + step temporaries — the configuration
+        # that fits 100k particles (f.pool would otherwise pin a second
+        # full pool)
+        f.state = f.pool = None
+
     t0 = time.time()
-    carry, aux = run(make_carry(), stacked)
+    carry, aux = run(carry, stacked)
     jax.block_until_ready(aux["centroid"])
     compile_s = time.time() - t0
 
     dt = float("inf")
     for _ in range(args.repeats):
-        carry0 = make_carry()
-        jax.block_until_ready(carry0.pool.mean)
+        if not args.donate:
+            carry = streaming.StreamingState.create(f.state, f.pool)
+            jax.block_until_ready(carry.pool.mean)
         t0 = time.time()
-        carry, aux = run(carry0, stacked)
+        carry, aux = run(carry, stacked)
         jax.block_until_ready(aux["centroid"])
         dt = min(dt, time.time() - t0)
 
@@ -331,6 +355,9 @@ def bench_slam(args):
         "value": round(frames / dt, 2),
         "unit": f"frames/s @ {n} particles, per-particle maps",
         "vs_baseline": round(frames / dt / 100.0, 3),
+        "chain_kernel": args.chain_kernel,
+        "merge_kernel": args.merge_kernel,
+        "pool_dtype": args.pool_dtype,
     }
     print(json.dumps(result))
     import sys
@@ -340,7 +367,8 @@ def bench_slam(args):
         f"{int(np.asarray(aux['mapped']).sum())} merges gated in, "
         f"{int(np.asarray(aux['updated']).sum())} measurement updates) "
         f"in {dt:.3f}s (compile+first {compile_s:.1f}s), "
-        f"map patches={int(jnp.sum(carry.pool.valid))}",
+        f"map patches={int(jnp.sum(carry.pool.valid))}, "
+        f"alloc_failed={int(carry.alloc_failed)}",
         file=sys.stderr,
     )
 

@@ -161,6 +161,11 @@ class Config:
     # slip/terrain fusion and texture paths in SLAM mode; False saves
     # 1.5x patch memory + merge traffic)
     map_pool_color: bool = True
+    # storage dtype of the pool's float patch fields: 'float32' (exact)
+    # or 'bfloat16' (10 bytes/patch-slot instead of 16 — the setting
+    # that fits 100k-particle per-particle SLAM on one v5e chip; all
+    # fusion arithmetic stays f32, values round once on store)
+    map_pool_dtype: str = "float32"
     # max grids chained per particle map (MLSMap grid chain)
     map_chain_length: int = 4
     # block-allocation locality ranges: the pool's block axis is split

@@ -140,6 +140,7 @@ class EmbodiedSlamFilter:
                 template, cfg.particle_count, cfg.map_pool_blocks,
                 cfg.map_chain_length, with_color=cfg.map_pool_color,
                 shards=cfg.map_pool_shards,
+                dtype=jnp.dtype(cfg.map_pool_dtype),
             )
             self.shared_grid = None
 

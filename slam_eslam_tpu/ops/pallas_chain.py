@@ -63,9 +63,11 @@ def _chain_kernel(chain_ref, lxy_ref, z_ref, *refs, nx, ny, k,
         oh = (jnp.broadcast_to(lx, (nq, nx)) == iota_x).astype(
             jnp.float32
         )
-        m_blk = field_refs[3 * l][0]       # [nx, ny*K]
-        s_blk = field_refs[3 * l + 1][0]
-        v_blk = field_refs[3 * l + 2][0].astype(jnp.float32)
+        # float fields may be bf16 storage; meta is the packed int32
+        # flag word (bit 0 = valid)
+        m_blk = field_refs[3 * l][0].astype(jnp.float32)  # [nx, ny*K]
+        s_blk = field_refs[3 * l + 1][0].astype(jnp.float32)
+        v_blk = (field_refs[3 * l + 2][0] & 1).astype(jnp.float32)
         rows_m = jnp.dot(oh, m_blk, preferred_element_type=jnp.float32)
         rows_s = jnp.dot(oh, s_blk, preferred_element_type=jnp.float32)
         rows_v = jnp.dot(oh, v_blk, preferred_element_type=jnp.float32)
@@ -98,14 +100,15 @@ def _chain_kernel(chain_ref, lxy_ref, z_ref, *refs, nx, ny, k,
     out_ref[0] = jnp.concatenate([found, mean, stdev], axis=1)
 
 
-def chain_lookup_blocks(mean, stdev, valid, chain, origin, resolution,
+def chain_lookup_blocks(mean, stdev, meta, chain, origin, resolution,
                         points, *, k, z_window=3.0, interpret=False):
     """Batched chain lookup over the block pool.
 
-    ``mean/stdev/valid``: pool fields ``[B, nx, ny*K]`` (valid int32).
-    ``chain [N, L]`` int32 (head first, -1 = empty), ``origin [B, 2]``,
-    ``points [N, C, 3]`` world coordinates.  Returns
-    ``(found [N, C] bool, mean [N, C], stdev [N, C])``.
+    ``mean/stdev``: pool float fields ``[B, nx, ny*K]`` (f32 or bf16
+    storage), ``meta``: packed int32 flags (bit 0 = valid; see
+    ``map_pool.pack_meta``).  ``chain [N, L]`` int32 (head first, -1 =
+    empty), ``origin [B, 2]``, ``points [N, C, 3]`` world coordinates.
+    Returns ``(found [N, C] bool, mean [N, C], stdev [N, C])``.
     """
     b, nx, nyk = mean.shape
     n, levels = chain.shape
@@ -147,7 +150,7 @@ def chain_lookup_blocks(mean, stdev, valid, chain, origin, resolution,
         in_specs += [field_spec(l)] * 3
     fields = []
     for l in range(levels):
-        fields += [mean, stdev, valid]
+        fields += [mean, stdev, meta]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -63,10 +63,9 @@ def _group_sum(x, k, lane):
 
 
 def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
-                  mean_in, stdev_in, height_in, valid_in, horiz_in,
-                  uidx_in, mean_out, stdev_out, height_out, valid_out,
-                  horiz_out, uidx_out, *, nx, ny, k,
-                  patch_thickness, gap_size):
+                  mean_in, stdev_in, height_in, meta_in,
+                  mean_out, stdev_out, height_out, meta_out,
+                  *, nx, ny, k, patch_thickness, gap_size):
     del blk_ref  # consumed by the index maps
     update_idx = par_ref[0]
     nyk = ny * k
@@ -102,12 +101,14 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
                   preferred_element_type=jnp.float32) > 0.5
 
     # ---- envire slot rules on the whole block (fuse_slot_rows) ------
-    mean = mean_in[0]                                # [nx, ny*K]
-    stdev = stdev_in[0]
-    height = height_in[0]
-    valid = valid_in[0] != 0
-    horiz = horiz_in[0] != 0
-    uidx = uidx_in[0]
+    # float fields may be stored bf16 — all math runs f32 in VMEM,
+    # rounded once on the write-back
+    mean = mean_in[0].astype(jnp.float32)            # [nx, ny*K]
+    stdev = stdev_in[0].astype(jnp.float32)
+    height = height_in[0].astype(jnp.float32)
+    meta = meta_in[0]                                # packed int32
+    valid = (meta & 1) != 0
+    horiz = (meta & 2) != 0
     lane = jax.lax.broadcasted_iota(jnp.int32, (nx, nyk), 1) % k
 
     dist = jnp.abs(mean - z)
@@ -166,27 +167,29 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
     new_horiz = jnp.where(can_fuse | ~can_gap, 1, 0)
 
     upd = chosen
-    updi = upd.astype(jnp.int32)
-    mean_out[0] = jnp.where(upd, new_mean, mean)
-    stdev_out[0] = jnp.where(upd, new_stdev, stdev)
-    height_out[0] = jnp.where(upd, new_height, height)
-    valid_out[0] = jnp.maximum(valid_in[0], updi)
-    horiz_out[0] = jnp.where(upd, new_horiz, horiz_in[0])
-    uidx_out[0] = jnp.where(upd, update_idx, uidx)
+    ftype = mean_in.dtype
+    mean_out[0] = jnp.where(upd, new_mean, mean).astype(ftype)
+    stdev_out[0] = jnp.where(upd, new_stdev, stdev).astype(ftype)
+    height_out[0] = jnp.where(upd, new_height, height).astype(ftype)
+    # written slots: valid=1, horizontal=branch, update_idx=stamp
+    new_meta = 1 | (new_horiz << 1) | (update_idx << 2)
+    meta_out[0] = jnp.where(upd, new_meta, meta)
 
 
-def merge_blocks(mean, stdev, height, valid, horiz, uidx, blk,
+def merge_blocks(mean, stdev, height, meta, blk,
                  lx, ly, w, wz, update_idx, *, k,
                  patch_thickness=0.1, gap_size=1.5, interpret=False):
     """Merge per-particle accumulated measurements into active blocks.
 
-    ``mean..uidx``: pool fields ``[B, nx, ny*K]`` (flags/update int32).
-    ``blk [N]``: each particle's (unique) active block id.
-    ``lx, ly [N, P]`` int32 cell coords local to the block (out-of-range
-    = masked), ``w, wz [N, P]`` inverse-variance weights / weighted z.
-    ``k``: patch slots per cell.  ``update_idx``: int32 scalar stamp.
-    Returns the six updated fields; the inputs are donated (in-place on
-    TPU).
+    ``mean/stdev/height``: pool float fields ``[B, nx, ny*K]`` (f32 or
+    bf16 storage; math is f32 in VMEM), ``meta``: packed int32 flags
+    (bit 0 valid, bit 1 horizontal, bits 2.. update_idx — see
+    ``map_pool.pack_meta``).  ``blk [N]``: each particle's (unique)
+    active block id.  ``lx, ly [N, P]`` int32 cell coords local to the
+    block (out-of-range = masked), ``w, wz [N, P]`` inverse-variance
+    weights / weighted z.  ``k``: patch slots per cell.
+    ``update_idx``: int32 scalar stamp.  Returns the four updated
+    fields; the inputs are donated (in-place on TPU).
     """
     b, nx, nyk = mean.shape
     n, p = lx.shape
@@ -216,13 +219,13 @@ def merge_blocks(mean, stdev, height, valid, horiz, uidx, blk,
             pt_spec((1, p)),            # w
             pt_spec((1, p)),            # wz
             field_spec, field_spec, field_spec,   # mean, stdev, height
-            field_spec, field_spec, field_spec,   # valid, horiz, uidx
+            field_spec,                           # packed meta
         ],
-        out_specs=[field_spec] * 6,
+        out_specs=[field_spec] * 4,
     )
-    shapes = [jax.ShapeDtypeStruct(mean.shape, jnp.float32)] * 3 + [
+    shapes = [jax.ShapeDtypeStruct(mean.shape, mean.dtype)] * 3 + [
         jax.ShapeDtypeStruct(mean.shape, jnp.int32)
-    ] * 3
+    ]
     out = pl.pallas_call(
         functools.partial(
             _merge_kernel, nx=nx, ny=ny, k=k,
@@ -231,10 +234,10 @@ def merge_blocks(mean, stdev, height, valid, horiz, uidx, blk,
         grid_spec=grid_spec,
         out_shape=shapes,
         # pool fields update in place: input operand order is
-        # (2 scalar-prefetch) + (4 point arrays) + 6 fields -> inputs
-        # 6..11 alias outputs 0..5
-        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4, 11: 5},
+        # (2 scalar-prefetch) + (4 point arrays) + 4 fields -> inputs
+        # 6..9 alias outputs 0..3
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
         interpret=interpret,
     )(blk.astype(jnp.int32), params, lx3, ly3, w3, wz3,
-      mean, stdev, height, valid, horiz, uidx)
+      mean, stdev, height, meta)
     return out

@@ -80,8 +80,7 @@ def shard_state(state, mesh):
 # with Config.map_pool_shards == mesh size, allocation keeps each
 # particle's blocks on its own device)
 _POOL_BLOCK_FIELDS = (
-    "mean", "stdev", "height", "valid", "horizontal", "update_idx",
-    "color", "origin", "allocated",
+    "mean", "stdev", "height", "meta", "color", "origin", "allocated",
 )
 
 

@@ -27,7 +27,10 @@ def write_cell(pool, block, x, y, z):
         pool,
         mean=pool.mean.at[block, ix, lane].set(z),
         stdev=pool.stdev.at[block, ix, lane].set(0.1),
-        valid=pool.valid.at[block, ix, lane].set(1),
+        # set valid bit, keep the template's horizontal bit
+        meta=pool.meta.at[block, ix, lane].set(
+            pool.meta[block, ix, lane] | 1
+        ),
     )
 
 
@@ -291,7 +294,7 @@ class TestFusedMergeMatch:
         ref = mp.chain_lookup(pool, z_window=3.0)
         rf, rm, rs, _ = jax.vmap(ref)(jnp.arange(4), pts)
         kf, km, ks = pallas_chain.chain_lookup_blocks(
-            pool.mean, pool.stdev, pool.valid, pool.chain, pool.origin,
+            pool.mean, pool.stdev, pool.meta, pool.chain, pool.origin,
             pool.resolution, pts, k=pool.k, z_window=3.0,
             interpret=True,
         )
@@ -384,3 +387,78 @@ class TestNegativeInformation:
         )
         f, _, _, _ = mp.chain_lookup(out)(0, jnp.array([[1.0, 1.0, 2.0]]))
         assert bool(f[0]), "tail-block patch must survive negative info"
+
+
+class TestCompactStorage:
+    """Packed meta word + optional bf16 float fields (the 100k-particle
+    HBM configuration)."""
+
+    def test_meta_roundtrip(self):
+        v = jnp.array([1, 0, 1], jnp.int32)
+        h = jnp.array([0, 1, 1], jnp.int32)
+        u = jnp.array([0, 7, 123456], jnp.int32)
+        meta = mp.pack_meta(v, h, u)
+        np.testing.assert_array_equal(np.asarray(meta & 1), np.asarray(v))
+        np.testing.assert_array_equal(
+            np.asarray((meta >> 1) & 1), np.asarray(h)
+        )
+        np.testing.assert_array_equal(np.asarray(meta >> 2), np.asarray(u))
+
+    def test_bf16_pool_merge_and_lookup(self):
+        template = MLSGrid.create(20, 20, 0.5, (-5.0, -5.0), k=2)
+        mk = lambda dt: mp.MapPool.from_template(
+            template, 4, 10, 3, with_color=False, dtype=dt
+        )
+        key = jax.random.PRNGKey(3)
+        n = 32
+        xy = jax.random.uniform(key, (n, 2), minval=-2.0, maxval=2.0)
+        cloud = PatchCloud.create(
+            xy=xy, z=jnp.full((n,), 1.0), stdev=jnp.full((n,), 0.1),
+            valid=jnp.ones((n,), bool),
+        )
+        args = (jnp.zeros((4, 2)), jnp.zeros(4),
+                jnp.array([0.0, 10.0, 0.0, 0.0]), jnp.zeros(4), cloud, 5)
+        outs = {}
+        for dt in (jnp.float32, jnp.bfloat16):
+            pool = mp.merge_cloud_all(mk(dt), *args, kernel="xla")
+            assert pool.mean.dtype == dt
+            lookup = mp.chain_lookup(pool, z_window=3.0)
+            pt = np.asarray(cloud.xy[0])
+            f, m, s, _ = lookup(jnp.asarray(0),
+                                jnp.array([[pt[0], pt[1], 1.0]]))
+            assert bool(f[0])
+            assert m.dtype == jnp.float32  # lookups always return f32
+            outs[str(dt)] = (float(m[0]), float(s[0]))
+        # bf16 storage rounds once: ~3 decimal digits
+        a, b = outs["<class 'jax.numpy.float32'>"], outs[
+            "<class 'jax.numpy.bfloat16'>"
+        ]
+        np.testing.assert_allclose(b[0], a[0], rtol=1e-2, atol=1e-2)
+
+    def test_bf16_pallas_merge_matches_xla(self):
+        template = MLSGrid.create(16, 16, 0.5, (-4.0, -4.0), k=2)
+        pool0 = mp.MapPool.from_template(
+            template, 4, 8, 2, with_color=False, dtype=jnp.bfloat16
+        )
+        key = jax.random.PRNGKey(9)
+        n = 24
+        xy = jax.random.uniform(key, (n, 2), minval=-2.0, maxval=2.0)
+        cloud = PatchCloud.create(
+            xy=xy,
+            z=jax.random.normal(jax.random.PRNGKey(1), (n,)),
+            stdev=jnp.full((n,), 0.1),
+            valid=jnp.ones((n,), bool),
+        )
+        args = (jnp.zeros((4, 2)), jnp.zeros(4), jnp.zeros(4),
+                jnp.zeros(4), cloud, 3)
+        px = mp.merge_cloud_all(pool0, *args, kernel="xla")
+        pk = mp.merge_cloud_all(pool0, *args, kernel="pallas")
+        np.testing.assert_array_equal(
+            np.asarray(px.meta), np.asarray(pk.meta)
+        )
+        for fld in ("mean", "stdev", "height"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(px, fld), np.float32),
+                np.asarray(getattr(pk, fld), np.float32),
+                rtol=2e-2, atol=2e-2,
+            )

@@ -49,9 +49,9 @@ def _pool(n=256, b=None, nx=40, ny=40, k=4, chain_len=3, seed=0):
             (0.01 + 0.2 * rng.random(shape)).astype(np.float32)
         ),
         height=jnp.zeros(shape, jnp.float32),
-        valid=jnp.asarray((rng.random(shape) < 0.5).astype(np.int32)),
-        horizontal=jnp.ones(shape, jnp.int32),
-        update_idx=jnp.zeros(shape, jnp.int32),
+        meta=jnp.asarray(
+            ((rng.random(shape) < 0.5).astype(np.int32)) | 2
+        ),
         color=None,
         origin=jnp.asarray((rng.normal(size=(b, 2)) * 2).astype(np.float32)),
         allocated=jnp.ones((b,), bool),
@@ -140,7 +140,7 @@ class TestCompiledMerge:
             )(pool)
             outs[kernel] = jax.block_until_ready(out)
         for fld in ("mean", "stdev", "height", "valid", "horizontal",
-                    "update_idx"):
+                    "update_idx", "meta"):
             a = np.asarray(getattr(outs["pallas"], fld))
             b = np.asarray(getattr(outs["xla"], fld))
             v = np.asarray(outs["xla"].valid) != 0

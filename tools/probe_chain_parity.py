@@ -29,10 +29,9 @@ pool = mp.MapPool(
     stdev=jnp.asarray(
         (0.01 + 0.2 * rng.random((B, NX, NY * K))).astype(np.float32)),
     height=zeros,
-    valid=jnp.asarray(
-        (rng.random((B, NX, NY * K)) < 0.5).astype(np.int32)),
-    horizontal=jnp.ones((B, NX, NY * K), jnp.int32),
-    update_idx=jnp.zeros((B, NX, NY * K), jnp.int32),
+    # packed meta: valid bit from a coin flip, horizontal bit set
+    meta=jnp.asarray(
+        ((rng.random((B, NX, NY * K)) < 0.5).astype(np.int32)) | 2),
     color=None,
     origin=jnp.asarray(
         (rng.normal(size=(B, 2)) * 2).astype(np.float32)),
