@@ -87,6 +87,16 @@ def main():
         help="(slam mode) per-particle scan-merge path",
     )
     ap.add_argument(
+        "--chain-len", type=int, default=3, dest="chain_len",
+        help="(slam mode) per-particle map chain length; steady state "
+        "pins ~particles*chain_len pool blocks",
+    )
+    ap.add_argument(
+        "--pool-blocks", type=int, default=0, dest="pool_blocks",
+        help="(slam mode) map-pool block capacity (0 = particles+64; "
+        "rollover-heavy runs want ~particles*chain_len)",
+    )
+    ap.add_argument(
         "--min-effective", type=int, default=-1, dest="min_effective",
         help="ESS resampling threshold (default: particles/5; 0 "
         "disables resampling — for stage attribution)",
@@ -276,8 +286,8 @@ def bench_slam(args):
         min_effective=n // 2,
         grid_size=args.grid_size,
         grid_resolution=args.grid_res,
-        map_pool_blocks=n + 64,
-        map_chain_length=3,
+        map_pool_blocks=args.pool_blocks or n + 64,
+        map_chain_length=args.chain_len,
         map_pool_color=False,  # perf config: no slip/texture fusion
         map_pool_dtype=args.pool_dtype,
         chain_kernel=args.chain_kernel,

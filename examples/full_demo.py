@@ -1,0 +1,364 @@
+"""Flagship end-to-end demo: every subsystem composed on one traverse.
+
+A simulated Asguard drives a closed loop over synthetic terrain.  The
+run exercises the FULL pipeline in one artifact:
+
+1. **Record** (native log runtime): contact states, orientations,
+   ground-truth poses, ray-cast LASER scans (tilted scanner), ray-cast
+   distance images + RGB textures (camera), written through the C++
+   log writer — the deployment input shape.
+2. **Replay** (``OnlineSlam``): per-particle-map SLAM, device-resident
+   chunks (one ``lax.scan`` dispatch each), with laser merges, camera
+   merges carrying texture colour, surface-hash reinjection, keyframe
+   collection and scan-align loop closures — everything on.
+3. **Report**: tracking ATE vs ground truth, keyframe-trajectory error
+   before/after the pose-graph backend optimisation, and rendered
+   snapshots (particle cloud + best particle's textured map).
+
+Reference scope being composed: the whole
+``EmbodiedSlamFilter.cpp:70-369`` pipeline (proprioceptive + laser +
+camera update paths, per-particle maps, hash) plus this engine's new
+backend (keyframes/pose graph — no reference counterpart).
+
+Run:  python examples/full_demo.py [--cpu] [--steps 48] [--particles 192]
+"""
+
+import argparse
+import dataclasses
+import os
+import tempfile
+
+import numpy as np
+
+
+_rng_rocks = np.random.default_rng(7)
+_ROCKS = np.stack([
+    _rng_rocks.uniform(-6, 6, 60),          # x
+    _rng_rocks.uniform(-6, 6, 60),          # y
+    _rng_rocks.uniform(0.10, 0.30, 60),     # height
+    _rng_rocks.uniform(0.25, 0.45, 60),     # radius
+], axis=1)
+
+
+def terrain(x, y):
+    x, y = np.asarray(x, float), np.asarray(y, float)
+    # rolling base + a rock field: distinctive local relief gives the
+    # contact model and the loop-closure z-correlation something to
+    # lock onto (smooth sinusoids alone are self-similar at the
+    # robot's scale)
+    base = (0.20 * np.sin(0.9 * x) + 0.16 * np.cos(0.7 * y)
+            + 0.10 * np.sin(2.3 * x + 0.8 * y))
+    d2 = ((x[..., None] - _ROCKS[:, 0]) ** 2
+          + (y[..., None] - _ROCKS[:, 1]) ** 2)
+    rocks = (_ROCKS[:, 2] * np.exp(-d2 / (2 * _ROCKS[:, 3] ** 2))).sum(-1)
+    return base + rocks
+
+
+def color_of(x, y):
+    """Synthetic ground RGB: height-keyed colormap."""
+    h = terrain(x, y)
+    t = np.clip((h + 0.6) / 1.2, 0.0, 1.0)
+    return np.stack([0.2 + 0.6 * t, 0.5 - 0.2 * t, 0.8 - 0.6 * t], -1)
+
+
+def raycast(origins, dirs, t_min=0.25, t_max=3.2, dt=0.02):
+    """First terrain intersection along each ray (host, vectorised).
+    ``origins [R, 3]``, ``dirs [R, 3]`` (not necessarily unit).
+    Returns parametric t [R] (inf = no hit within range)."""
+    ts = np.arange(t_min, t_max, dt)
+    p = origins[:, None, :] + ts[None, :, None] * dirs[:, None, :]
+    below = p[..., 2] <= terrain(p[..., 0], p[..., 1])
+    first = np.argmax(below, axis=1)
+    hit = below.any(axis=1)
+    return np.where(hit, ts[first], np.inf)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=48,
+                    help="sim steps (10 frames each) along the route")
+    ap.add_argument("--particles", type=int, default=192)
+    ap.add_argument("--chunk", type=int, default=60,
+                    help="frames per device dispatch")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="/tmp/full_demo")
+    ap.add_argument("--hash", action="store_true",
+                    help="enable surface-hash reinjection (global "
+                    "relocalization candidates; on signature-ambiguous "
+                    "synthetic terrain the injected candidates spread "
+                    "wide — faithful reference behaviour, but it costs "
+                    "tracking accuracy on this figure-8-free route)")
+    ap.add_argument("--no-camera", action="store_true")
+    args = ap.parse_args()
+
+    from slam_eslam_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from slam_eslam_tpu.config import (
+        Config, ContactModelConfig, OdometryConfig, SurfaceHashConfig,
+    )
+    from slam_eslam_tpu.filter import streaming
+    from slam_eslam_tpu.io import logio
+    from slam_eslam_tpu.models import sim as simlib
+    from slam_eslam_tpu.models.asguard import AsguardSim
+    from slam_eslam_tpu.online import OnlineSlam
+    from slam_eslam_tpu.utils import geometry
+
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(tempfile.mkdtemp(), "loop.eslg")
+
+    # sensor rigs -----------------------------------------------------
+    n_rays = 180
+    # 270-degree lidar: out-leg and return-leg scans overlap even at
+    # opposite headings — single-fan forward scans cannot close loops
+    # on an out-and-back route (no shared terrain in the clouds)
+    start_angle, ang_res = -3 * np.pi / 4, (3 * np.pi / 2) / n_rays
+    tilt = np.deg2rad(28.0)
+    # scanner x -> body +y (forward), tilted down about body x
+    rot_x = lambda a: np.array([[1, 0, 0],
+                                [0, np.cos(a), -np.sin(a)],
+                                [0, np.sin(a), np.cos(a)]])
+    swap = np.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])  # x->y, y->-x
+    laser_rot = rot_x(-tilt) @ swap
+    laser_trans = np.array([0.0, 0.25, 0.15])
+    cam_h, cam_w = 12, 16
+    # camera z -> body +y (forward), camera x -> body x, y -> down
+    cam_rot0 = np.array([[1.0, 0, 0], [0, 0, 1], [0, -1, 0]])
+    cam_rot = rot_x(-np.deg2rad(38.0)) @ cam_rot0
+    cam_trans = np.array([0.0, 0.20, 0.25])
+    sx, sy = 0.09, 0.09
+    cx0, cy0 = -sx * (cam_w - 1) / 2, -sy * (cam_h - 1) / 2
+
+    # ---- phase 1: record an out-and-back traverse -------------------
+    # (drive out, U-turn, drive back over the same ground — one skid
+    # turn, a guaranteed revisit for the loop-closure backend)
+    sim = AsguardSim(terrain=terrain)
+    truth, t_count = [], [0]
+    turn_steps = max(4, args.steps // 8)
+    leg = (args.steps - turn_steps) // 2
+
+    def world_rot(yaw):
+        c, s = np.cos(yaw), np.sin(yaw)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    with logio.LogWriter(path) as w:
+
+        def record(s, scan=False, camera=False):
+            ts = t_count[0] * 10_000_000
+            t_count[0] += 1
+            q = np.asarray(s.orientation)
+            w.write_contact_state(s.contact_state(), ts)
+            w.write_orientation(q, ts)
+            w.write_pose(s.position, q, ts)
+            truth.append(np.array([*s.position, s.yaw]))
+            rw = world_rot(s.yaw)
+            if scan:
+                angles = start_angle + np.arange(n_rays) * ang_res
+                d_scan = np.stack([np.cos(angles), np.sin(angles),
+                                   np.zeros(n_rays)], -1)
+                d_world = (rw @ laser_rot @ d_scan.T).T
+                o = s.position + rw @ laser_trans
+                t = raycast(np.broadcast_to(o, (n_rays, 3)), d_world)
+                ranges = np.where(np.isfinite(t), t, 0.0).astype(np.float32)
+                w.write_scan(ranges, start_angle, ang_res, ts)
+            if camera:
+                u = np.arange(cam_w) * sx + cx0
+                v = np.arange(cam_h) * sy + cy0
+                uu, vv = np.meshgrid(u, v)
+                d_cam = np.stack(
+                    [uu, vv, np.ones_like(uu)], -1
+                ).reshape(-1, 3)
+                d_world = (rw @ cam_rot @ d_cam.T).T
+                o = s.position + rw @ cam_trans
+                t = raycast(np.broadcast_to(o, (d_world.shape[0], 3)),
+                            d_world, t_min=0.3, t_max=2.8, dt=0.02)
+                depth = np.where(np.isfinite(t), t, 0.0).astype(
+                    np.float32
+                ).reshape(cam_h, cam_w)
+                w.write_distance_image(depth, sx, sy, cx0, cy0, ts)
+                hits = o[None] + np.nan_to_num(
+                    t[:, None], posinf=0.0
+                ) * d_world
+                tex = color_of(hits[:, 0], hits[:, 1]).astype(np.float32)
+                w.write_texture_image(tex.reshape(cam_h, cam_w, 3), ts)
+
+        record(sim)
+        for k in range(args.steps):
+            turning = leg <= k < leg + turn_steps
+            yr = np.pi / turn_steps if turning else 0.0
+            subs = []
+            sim.step(wheel_delta=0.32, yaw_rate=yr,
+                     on_substep=lambda s: subs.append(None) or record(
+                         s,
+                         scan=(len(subs) == 10),
+                         camera=(len(subs) == 5 and k % 2 == 0),
+                     ))
+    n_frames = t_count[0]
+    print(f"recorded {n_frames} frames ({args.steps} scans) -> {path} "
+          f"({os.path.getsize(path) / 1024:.0f} KiB)")
+
+    # ---- phase 2: OnlineSlam replay ---------------------------------
+    cfg = dataclasses.replace(
+        Config(),
+        particle_count=args.particles,
+        min_effective=args.particles // 2,
+        grid_size=10.0, grid_resolution=0.25,
+        map_pool_blocks=args.particles + 32,
+        map_chain_length=3,
+        map_pool_color=True,      # textures ride the patches
+        mapping_camera_threshold=dataclasses.replace(
+            Config().mapping_camera_threshold, distance=0.6,
+        ),
+        contact_model=ContactModelConfig(
+            contact_point_radius=0.0, min_contacts=2
+        ),
+    )
+    cam_kw = {} if args.no_camera else dict(
+        camera2body=(cam_rot, cam_trans),
+        camera_intrinsics=(sx, sy, cx0, cy0),
+        camera_texture=True,
+    )
+    slam = OnlineSlam(
+        config=cfg,
+        submap_scans=3,
+        # skid-steer: commanded yaw drags the stance feet sideways, a
+        # systematic slip the error model must cover or the particle
+        # cloud cannot span the true pose (classic odometry tuning)
+        odometry_config=OdometryConfig(
+            dist_error_xy=0.35, const_error_xy=0.004,
+        ),
+        laser2body=(laser_rot, laser_trans),
+        **cam_kw,
+        keyframe_kw=dict(
+            keyframe_distance=0.3, closure_radius=2.0,
+            min_separation=3, min_score=0.2, closure_info=1000.0,
+            # the sweep must span the drift accumulated around the turn
+            # yaw rides the IMU (near-zero drift): keep the yaw sweep
+            # tight so xy ambiguity cannot masquerade as rotation
+            align_search_xy=1.5, align_search_yaw=0.15,
+            align_steps_xy=31, align_steps_yaw=5, align_sigma=0.05,
+            align_search_z=0.3, align_steps_z=7,
+        ),
+    )
+    slam.init(pose=(truth[0][:3], truth[0][3]))
+    if args.hash:
+        # surface hash from a prior elevation survey of the area (the
+        # reference builds its hash from the environment's grid,
+        # EmbodiedSlamFilter.cpp:93-98); enables periodic reinjection
+        from slam_eslam_tpu.filter import surface_hash as sh
+
+        hash_grid = simlib.terrain_grid(
+            terrain, nx=88, ny=88, resolution=0.25, origin=(-11.0, -11.0)
+        )
+        slam.filter.hash = sh.SurfaceHash.create(
+            SurfaceHashConfig(use_hash=True, period=20), hash_grid
+        )
+
+    frames, ts, intr = streaming.frames_from_log(
+        path, camera=True, texture=True
+    )
+    assert np.allclose(intr, (sx, sy, cx0, cy0), atol=1e-6)
+
+    import time
+
+    cents, t0 = [], time.time()
+    nchunks = n_frames // args.chunk
+    for ci in range(nchunks):
+        sl = slice(ci * args.chunk, (ci + 1) * args.chunk)
+        chunk = jax.tree_util.tree_map(lambda a: a[sl], frames)
+        aux = slam.process_chunk(chunk)
+        cents.append(np.asarray(aux["centroid"]))
+        print(f"chunk {ci + 1}/{nchunks}: "
+              f"{int(np.asarray(aux['mapped']).sum())} laser merges, "
+              f"{int(np.asarray(aux.get('cam_mapped', np.zeros(1))).sum())}"
+              f" camera merges, {len(slam.keyframes.keyframes)} keyframes,"
+              f" {len(slam.keyframes.closures)} closures")
+    wall = time.time() - t0
+    cents = np.concatenate(cents)
+    used = nchunks * args.chunk
+    tr = np.stack(truth)[:used]
+
+    # ---- phase 3: metrics + artifacts --------------------------------
+    xy_err = np.linalg.norm(cents[:, :2] - tr[:, :2], axis=1)
+    z_err = np.abs(cents[:, 2] - tr[:, 2])
+    n10 = max(1, used // 10)
+    cpath = np.linalg.norm(np.diff(cents[:, :2], axis=0), axis=1).sum()
+    tpath = np.linalg.norm(np.diff(tr[:, :2], axis=0), axis=1).sum()
+    print(f"\nonline tracking ({used} frames in {wall:.1f}s = "
+          f"{used / wall:.1f} fps incl. host chunking; centroid path "
+          f"{cpath:.2f} m vs truth {tpath:.2f} m):")
+    print(f"  mean xy ATE {xy_err.mean():.3f} m | final-10% "
+          f"{xy_err[-n10:].mean():.3f} m | z {z_err.mean():.3f} m")
+
+    kf_frames = np.asarray(slam.keyframe_frames)
+    kf_truth = np.stack(truth)[kf_frames]
+    before = slam.trajectory()
+    # robust=None: the DCS kernel would treat the (score-verified) large
+    # closure corrections as outliers and zero them out — drift >> odom
+    # noise is exactly the regime a verified closure must dominate
+    traj, hist = slam.optimize(iters=20, incremental=False, robust=None)
+    after = np.asarray(traj)
+
+    def kf_err(t):
+        return np.linalg.norm(
+            np.asarray(t)[:, :2] - kf_truth[:, :2], axis=1
+        ).mean()
+
+    for (oi, ni, sc) in slam.keyframes.closures:
+        tn = np.stack(truth)[kf_frames[ni]]
+        bn = slam.keyframes.keyframes[ni].pose
+        print(f"  closure kf{oi} <- kf{ni} (score {sc:.3f}): kf{ni} "
+              f"believed ({bn[0]:.2f},{bn[1]:.2f},{bn[2]:.2f}) truth "
+              f"({tn[0]:.2f},{tn[1]:.2f},{tn[3]:.2f})")
+    print(f"keyframe trajectory ({len(kf_frames)} keyframes, "
+          f"{len(slam.keyframes.closures)} loop closures):")
+    print(f"  mean xy error before backend {kf_err(before):.3f} m "
+          f"-> after {kf_err(after):.3f} m "
+          f"(chi2 {float(hist[0]):.2f} -> {float(hist[-1]):.2f})")
+
+    # snapshots
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from slam_eslam_tpu.viz import render
+
+        fig, axes = plt.subplots(1, 3, figsize=(16, 5))
+        render.draw_particles(
+            slam.filter.get_particles(), ax=axes[0],
+            best_index=slam.filter.get_best_particle_index(),
+        )
+        axes[0].plot(tr[:, 0], tr[:, 1], "k--", lw=0.8, label="truth")
+        axes[0].plot(cents[:, 0], cents[:, 1], "g-", lw=0.8,
+                     label="centroid")
+        axes[0].legend()
+        axes[0].set_title("particles + trajectories")
+        render.draw_particle_map(
+            slam.filter.pool, slam.filter.get_best_particle_index(),
+            ax=axes[1],
+        )
+        axes[1].set_title("best particle's map (chain composite)")
+        axes[2].plot(kf_truth[:, 0], kf_truth[:, 1], "k--", label="truth")
+        b = np.asarray(before)
+        axes[2].plot(b[:, 0], b[:, 1], "r-", lw=0.8, label="before opt")
+        axes[2].plot(after[:, 0], after[:, 1], "b-", lw=0.8,
+                     label="after opt")
+        axes[2].legend()
+        axes[2].set_title("keyframe graph: backend correction")
+        out = os.path.join(args.out, "full_demo.png")
+        fig.savefig(out, dpi=110, bbox_inches="tight")
+        print(f"saved {out}")
+    except Exception as e:  # viz is best-effort
+        print(f"(snapshot rendering skipped: {e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,10 @@ class KeyframeManager:
                  min_separation=5, min_score=0.35,
                  grid_resolution=0.2, grid_cells=48,
                  max_nodes=256, max_edges=1024,
-                 odom_info=100.0, closure_info=300.0):
+                 odom_info=100.0, closure_info=300.0,
+                 align_search_xy=0.5, align_search_yaw=0.3,
+                 align_steps_xy=9, align_steps_yaw=7,
+                 align_sigma=0.2, align_search_z=0.0, align_steps_z=1):
         # NOTE: the alignment score averages over ALL sampled cloud
         # points (misses count 0), so keyframe grids must be coarse
         # enough that the stored cloud covers most cells — hence the
@@ -57,6 +60,18 @@ class KeyframeManager:
         self.grid_cells = grid_cells
         self.odom_info = odom_info
         self.closure_info = closure_info
+        # alignment sweep extent: must cover the expected odometry
+        # drift between revisits or closures silently miss
+        self.align_search_xy = align_search_xy
+        self.align_search_yaw = align_search_yaw
+        self.align_steps_xy = align_steps_xy
+        self.align_steps_yaw = align_steps_yaw
+        # score kernel width: must resolve the terrain's height
+        # variation or the score surface flattens and the sweep
+        # settles on maximum overlap instead of the true offset
+        self.align_sigma = align_sigma
+        self.align_search_z = align_search_z
+        self.align_steps_z = align_steps_z
         self.builder = pgr.PoseGraphBuilder(max_nodes, max_edges)
         self.keyframes: list[Keyframe] = []
         self.closures: list[tuple] = []
@@ -88,8 +103,16 @@ class KeyframeManager:
             jnp.asarray(kf.z, jnp.float32), jnp.asarray(0.0), 0,
         )
 
-    def maybe_add_keyframe(self, pose_xyyaw, cloud, z=0.0):
-        """Returns (added, closure_or_None)."""
+    def maybe_add_keyframe(self, pose_xyyaw, cloud, z=0.0,
+                           probe_cloud=None):
+        """Returns (added, closure_or_None).
+
+        ``cloud`` is STORED (what later revisits align against — give
+        it areal coverage, e.g. a local-map extract); ``probe_cloud``
+        is what aligns against OLD keyframes now (default ``cloud``) —
+        the current raw scan is the unbiased choice: it is tied to the
+        true pose, while an accumulated local map inherits the belief's
+        drift."""
         pose = np.asarray(pose_xyyaw, float)
         if self.keyframes and np.linalg.norm(
             pose[:2] - self.keyframes[-1].pose[:2]
@@ -106,30 +129,55 @@ class KeyframeManager:
             )
         self.keyframes.append(kf)
 
-        closure = self._try_closure(kf)
+        closure = self._try_closure(
+            kf, probe_cloud=probe_cloud if probe_cloud is not None
+            else kf.cloud,
+        )
         return True, closure
 
-    def _try_closure(self, kf: Keyframe):
-        best = None
+    def _try_closure(self, kf: Keyframe, top_k=3, probe_cloud=None):
+        if probe_cloud is None:
+            probe_cloud = kf.cloud
+        cands = []
         for old in self.keyframes[: max(0, kf.index - self.min_separation)]:
             d = np.linalg.norm(kf.pose[:2] - old.pose[:2])
             if d < self.closure_radius:
-                if best is None or d < best[0]:
-                    best = (d, old)
-        if best is None:
+                cands.append((d, old))
+        if not cands:
             return None
-        _, old = best
+        cands.sort(key=lambda t: t[0])
 
-        grid = self._kf_grid(old)
-        xy, yaw, score = pgr.scan_align(
-            grid, kf.cloud,
-            jnp.asarray(kf.pose[:2], jnp.float32),
-            jnp.asarray(kf.pose[2], jnp.float32),
-            jnp.asarray(kf.z, jnp.float32),
-        )
-        if float(score) < self.min_score:
+        # align against the closest few candidates and keep the best
+        # score: with accumulated drift the nearest BELIEVED keyframe is
+        # often the wrong physical place, and a single failed alignment
+        # would silently drop the revisit
+        best = None
+        for _, old in cands[:top_k]:
+            grid = self._kf_grid(old)
+            xy, yaw, score = pgr.scan_align(
+                grid, probe_cloud,
+                jnp.asarray(kf.pose[:2], jnp.float32),
+                jnp.asarray(kf.pose[2], jnp.float32),
+                jnp.asarray(kf.z, jnp.float32),
+                search_xy=self.align_search_xy,
+                search_yaw=self.align_search_yaw,
+                steps_xy=self.align_steps_xy,
+                steps_yaw=self.align_steps_yaw,
+                sigma=self.align_sigma,
+                search_z=self.align_search_z,
+                steps_z=self.align_steps_z,
+            )
+            if best is None or float(score) > best[0]:
+                best = (float(score), old, xy, yaw)
+        score, old, xy, yaw = best
+        if score < self.min_score:
             return None
         corrected = np.array([float(xy[0]), float(xy[1]), float(yaw)])
+        import os
+        if os.environ.get("SLAM_DEBUG_CLOSURES"):
+            print(f"closure kf{old.index}<-kf{kf.index}: believed "
+                  f"{kf.pose.round(3)} aligned {corrected.round(3)} "
+                  f"score {score:.3f}")
         z_rel = self._rel_pose(old.pose, corrected)
         self.builder.add_edge(
             old.node_id, kf.node_id, z_rel,

@@ -617,38 +617,51 @@ def optimize_schur(graph: PoseGraph, iters=10, segments=4,
 
 def scan_align(grid, cloud, xy0, yaw0, z0,
                search_xy=0.5, search_yaw=0.3, steps_xy=9, steps_yaw=7,
-               z_window=3.0, sigma=0.2):
+               z_window=3.0, sigma=0.2, search_z=0.0, steps_z=1):
     """Grid-search alignment of a scan cloud against an MLS grid around
     an initial pose guess — the loop-closure front-end.  Evaluates the
-    ``match_cloud`` consistency score over a (dx, dy, dyaw) grid in one
-    batched sweep (TPU-native exhaustive correlation instead of
+    ``match_cloud`` consistency score over a (dx, dy, dyaw[, dz]) grid
+    in one batched sweep (TPU-native exhaustive correlation instead of
     iterative ICP) and returns ``(best_xy, best_yaw, best_score)``.
+
+    ``search_z``: half-range of a vertical offset sweep.  The believed
+    z drifts like everything else; with a sharp ``sigma`` a constant z
+    error suppresses the TRUE xy peak and the sweep latches onto false
+    overlap maxima — searching dz decouples the vertical drift from
+    the lateral alignment (the dz itself is discarded: pose-graph
+    edges here are planar).
     """
     from slam_eslam_tpu.mapping import mls_grid
 
     dxs = jnp.linspace(-search_xy, search_xy, steps_xy)
     dyaws = jnp.linspace(-search_yaw, search_yaw, steps_yaw)
+    dzs = (jnp.linspace(-search_z, search_z, steps_z)
+           if steps_z > 1 else jnp.zeros((1,)))
 
-    def eval_one(dx, dy, dyaw):
+    def eval_one(dx, dy, dyaw, dz):
         th = yaw0 + dyaw
         r = jnp.array(
             [[jnp.cos(th), -jnp.sin(th)], [jnp.sin(th), jnp.cos(th)]]
         )
         return mls_grid.match_cloud(
-            grid, cloud, r, xy0 + jnp.array([dx, dy]), z0, 0.0,
+            grid, cloud, r, xy0 + jnp.array([dx, dy]), z0 + dz, 0.0,
             sampling=1, sigma=sigma, z_window=z_window,
         )
 
     scores = jax.vmap(
-        lambda dyaw: jax.vmap(
-            lambda dx: jax.vmap(lambda dy: eval_one(dx, dy, dyaw))(dxs)
-        )(dxs)
-    )(dyaws)                                  # [yaw, x, y]
+        lambda dz: jax.vmap(
+            lambda dyaw: jax.vmap(
+                lambda dx: jax.vmap(
+                    lambda dy: eval_one(dx, dy, dyaw, dz)
+                )(dxs)
+            )(dxs)
+        )(dyaws)
+    )(dzs)                                    # [z, yaw, x, y]
     flat = scores.reshape(-1)
     best = jnp.argmax(flat)
     iy = best % steps_xy
     ixx = (best // steps_xy) % steps_xy
-    iyaw = best // (steps_xy * steps_xy)
+    iyaw = (best // (steps_xy * steps_xy)) % steps_yaw
     return (
         xy0 + jnp.array([dxs[ixx], dxs[iy]]),
         yaw0 + dyaws[iyaw],

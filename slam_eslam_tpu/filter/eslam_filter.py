@@ -269,6 +269,7 @@ class EmbodiedSlamFilter:
                     w = mp.match_cloud_all(
                         pool, p.xy, p.yaw, p.z, p.z_sigma, cloud,
                         sampling=10, sigma=0.2, z_window=cfg.mls_z_window,
+                        kernel=cfg.chain_kernel,
                     )
                     # visualWeighting = 0.1 (EmbodiedSlamFilter.cpp:219-220)
                     weight = p.weight * jnp.power(jnp.maximum(w, 1e-30), 0.1)
@@ -477,7 +478,8 @@ class EmbodiedSlamFilter:
         return True
 
     def run_stream(self, frames, laser2body=None, mesh=None,
-                   camera2body=None, camera_intrinsics=None):
+                   camera2body=None, camera_intrinsics=None,
+                   camera_texture=False):
         """Device-resident execution of a whole frame stream
         (``filter.streaming``): every per-frame update this class would
         dispatch individually runs inside ONE ``lax.scan`` dispatch —
@@ -511,13 +513,16 @@ class EmbodiedSlamFilter:
             )
 
         key = ("stream", _extr(laser2body), _extr(camera2body),
-               camera_intrinsics, None if mesh is None else id(mesh))
+               camera_intrinsics, camera_texture, self.odometry_config,
+               None if mesh is None else id(mesh))
         if key not in self._jit_cache:
             self._jit_cache[key] = (
                 streaming.make_slam_scan_runner(
                     self.config, laser2body=laser2body, hash_=self.hash,
                     mesh=mesh, camera2body=camera2body,
                     camera_intrinsics=camera_intrinsics,
+                    camera_texture=camera_texture,
+                    odometry_config=self.odometry_config,
                 ),
                 mesh,  # strong ref: pins id(mesh) for the cache lifetime
             )

@@ -67,14 +67,18 @@ class StreamingState:
 
     @staticmethod
     def create(filter_state, pool):
-        far = jnp.array([1000.0, 0.0, 0.0], jnp.float32)  # "far away" init
-        qid = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+        # each leaf gets its OWN buffer (no shared references): a donated
+        # carry must not contain the same buffer twice, or Execute()
+        # rejects the double donation
+        far = lambda: jnp.array([1000.0, 0.0, 0.0], jnp.float32)
+        qid = lambda: jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+        zero = lambda: jnp.zeros((), jnp.int32)
         return StreamingState(
             filter=filter_state, pool=pool,
-            ud_pos=far, ud_q=qid, map_pos=far, map_q=qid,
-            cam_pos=far, cam_q=qid,
-            update_idx=jnp.zeros((), jnp.int32),
-            alloc_failed=jnp.zeros((), jnp.int32),
+            ud_pos=far(), ud_q=qid(), map_pos=far(), map_q=qid(),
+            cam_pos=far(), cam_q=qid(),
+            update_idx=zero(),
+            alloc_failed=zero(),
         )
 
 
@@ -87,7 +91,7 @@ def _quat_angle(qa, qb):
 def make_slam_step(cfg: Config, laser2body=None, hash_=None,
                    match=None, update=True, mesh=None,
                    camera2body=None, camera_intrinsics=None,
-                   camera_texture=False):
+                   camera_texture=False, odometry_config=None):
     """Build the fused per-frame SLAM step.
 
     ``step(carry: StreamingState, frame) -> (StreamingState, aux)`` with
@@ -126,6 +130,7 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
     """
     if match is None:
         match = cfg.use_visual_update
+    odo_cfg = odometry_config if odometry_config is not None else cfg_odo(cfg)
     threshold = cfg.grid_size / 2.0 * cfg.grid_threshold
     # a Mosaic custom call cannot be auto-partitioned by XLA — on a
     # mesh the kernel runs shard-locally (shard_map inside
@@ -180,7 +185,7 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
         # ---- proprioceptive path (EmbodiedSlamFilter.cpp:353-369) ----
         st = carry.filter
         st = dataclasses.replace(
-            st, odometry=odom.update(st.odometry, cs, q, cfg_odo(cfg))
+            st, odometry=odom.update(st.odometry, cs, q, odo_cfg)
         )
         st = pe.project(st, q, cfg, use_hash=hash_ is not None)
 
@@ -265,6 +270,7 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
                 w = mp.match_cloud_all(
                     pool, p.xy, p.yaw, p.z, p.z_sigma, cloud,
                     sampling=10, sigma=0.2, z_window=cfg.mls_z_window,
+                    kernel=chain_kernel,
                 )
                 # visualWeighting = 0.1 (EmbodiedSlamFilter.cpp:219-220)
                 weight = p.weight * jnp.power(jnp.maximum(w, 1e-30), 0.1)
@@ -370,7 +376,8 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
 def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
                           match=None, update=True, mesh=None,
                           camera2body=None, camera_intrinsics=None,
-                          camera_texture=False, donate=False):
+                          camera_texture=False, donate=False,
+                          odometry_config=None):
     """Roll a whole frame stream through the fused SLAM step on device.
 
     ``run(carry, frames) -> (carry, aux)`` — ``frames`` is the per-frame
@@ -385,7 +392,8 @@ def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
                           match=match, update=update, mesh=mesh,
                           camera2body=camera2body,
                           camera_intrinsics=camera_intrinsics,
-                          camera_texture=camera_texture)
+                          camera_texture=camera_texture,
+                          odometry_config=odometry_config)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run(carry: StreamingState, frames):
@@ -401,7 +409,7 @@ def stack_frames(frames):
     )
 
 
-def frames_from_log(path, camera=False):
+def frames_from_log(path, camera=False, texture=False):
     """Recorded traverse (native log) -> the stacked frame pytree of
     ``make_slam_step``, via the batched C gather path
     (``io.logio.load_stream``): the whole log becomes a handful of
@@ -411,7 +419,10 @@ def frames_from_log(path, camera=False):
     Returns ``(frames, ts [T])``.  With ``camera=True`` the frames
     include the distance-image entries (requires DISTANCE_IMAGE records)
     and the return is ``(frames, ts, intrinsics)`` — pass ``intrinsics``
-    as ``camera_intrinsics`` to ``make_slam_scan_runner``.
+    as ``camera_intrinsics`` to ``make_slam_scan_runner``.  With
+    ``texture=True`` the frames additionally carry per-frame RGB
+    textures (TEXTURE_IMAGE records; pass ``camera_texture=True`` to the
+    runner, which then needs a colour-carrying pool).
     """
     import numpy as np
 
@@ -461,4 +472,10 @@ def frames_from_log(path, camera=False):
     frames = frames + (
         jnp.asarray(s["dimg"]), jnp.asarray(s["has_dimg"])
     )
+    if texture:
+        if s["timg"] is None:
+            raise ValueError(
+                f"texture=True but {path} has no TEXTURE_IMAGE records"
+            )
+        frames = frames + (jnp.asarray(s["timg"]),)
     return frames, np.asarray(s["ts"]), s["dimg_meta"]

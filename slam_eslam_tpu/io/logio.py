@@ -21,6 +21,7 @@ ORIENTATION = 2
 LASER_SCAN = 3
 POSE = 4
 DISTANCE_IMAGE = 5
+TEXTURE_IMAGE = 6
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libeslam_log.so")
 _NATIVE_DIR = os.path.join(
@@ -180,6 +181,23 @@ def decode_distance_image(buf):
     return data.copy(), *(float(v) for v in intr)
 
 
+def encode_texture_image(img) -> bytes:
+    """RGB texture aligned with a distance image (the reference's
+    ImageRGB24 camera input, ``EmbodiedSlamFilter.cpp:259-275``):
+    u32 H, u32 W, then H*W*3 f32 in [0, 1]."""
+    d = np.asarray(img, np.float32)
+    h, w, c = d.shape
+    assert c == 3, "texture must be [H, W, 3]"
+    return np.array([h, w], np.uint32).tobytes() + d.tobytes()
+
+
+def decode_texture_image(buf):
+    h, w = (int(v) for v in np.frombuffer(buf[:8], np.uint32))
+    return np.frombuffer(
+        buf[8:8 + 12 * h * w], np.float32
+    ).reshape(h, w, 3).copy()
+
+
 # ------------------------------------------------------------------ API
 
 
@@ -220,6 +238,9 @@ class LogWriter:
                                   center_y),
             timestamp_ns,
         )
+
+    def write_texture_image(self, img, timestamp_ns=0):
+        self.append(TEXTURE_IMAGE, encode_texture_image(img), timestamp_ns)
 
     def close(self):
         if self._h:
@@ -466,6 +487,30 @@ def load_stream(path):
             dimg[fi] = imgs
             has_dimg[fi] = True
 
+        tidx, tts = r.select(TEXTURE_IMAGE)
+        timg = None
+        if tidx.size:
+            _, _, tbuf = r.get(int(tidx[0]))
+            th, tw = (int(v) for v in np.frombuffer(bytes(tbuf[:8]),
+                                                    np.uint32))
+            tdims = np.frombuffer(
+                r.gather(tidx, 8).tobytes(), np.uint32
+            ).reshape(-1, 2)
+            if not ((tdims[:, 0] == th) & (tdims[:, 1] == tw)).all():
+                raise ValueError(
+                    "texture images must share one geometry "
+                    "(fixed-shape streams)"
+                )
+            traw = r.gather(tidx, 8 + 12 * th * tw)
+            imgs_t = np.frombuffer(
+                traw[:, 8:].tobytes(), np.float32
+            ).reshape(-1, th, tw, 3)
+            timg = np.zeros((t, th, tw, 3), np.float32)
+            fi = np.clip(
+                np.searchsorted(cts, tts, side="right") - 1, 0, t - 1
+            )
+            timg[fi] = imgs_t
+
     return {
         "contact": contact,
         "orientation": orientation,
@@ -476,6 +521,7 @@ def load_stream(path):
         "dimg": dimg,
         "dimg_meta": dimg_meta,
         "has_dimg": has_dimg,
+        "timg": timg,
         "ts": cts,
     }
 

@@ -164,6 +164,19 @@ class MapPool:
         halves patch-field memory; fusion math stays f32)."""
         b = num_blocks
         dtype = dtype or template.mean.dtype
+        nyk_ = template.ny * template.k
+        if nyk_ % 128 != 0 and b >= 16384:
+            import warnings
+
+            warnings.warn(
+                f"block lane extent ny*K = {nyk_} is not a multiple of "
+                f"128: TPU (8,128) tiling pads every block image to "
+                f"{-(-nyk_ // 128) * 128} lanes ({-(-nyk_ // 128) * 128 / nyk_:.2f}x "
+                "hidden HBM) — at this pool size pick a grid geometry "
+                "with ny*K % 128 == 0 (e.g. grid_size 8 m at 0.25 m, "
+                "K=4)",
+                stacklevel=2,
+            )
         assert b >= n_particles, "pool must hold one block per particle"
         if shards <= 1:
             assign = jnp.arange(n_particles, dtype=jnp.int32)
@@ -696,11 +709,47 @@ def apply_negative_cloud_all(pool: MapPool, xy, yaw, z_offset, points,
 
 def match_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
                     cloud: PatchCloud, sampling=10, sigma=0.2,
-                    z_window=3.0):
+                    z_window=3.0, kernel="xla"):
     """Per-particle scan-to-map consistency scores [N] (fused equivalent
     of the ``pgrid->match`` loop, ``EmbodiedSlamFilter.cpp:214-221``;
-    matches query the particle's active grid)."""
+    matches query the particle's active grid).
+
+    ``kernel='pallas'``: the sampled queries resolve through the
+    streaming block kernel (``ops.pallas_chain`` with a single-level
+    chain = the active grid) instead of the N x Ps x K XLA gather —
+    same cure as the merge/lookup paths (~0.5 us per gathered scalar
+    on v5e, ``tools/bench_pool_ops.py``).  ``'auto'`` = pallas on the
+    TPU backend.  Scores are identical: only every ``sampling``-th
+    VALID cloud patch contributes, normalised by the sampled count.
+    """
     p = cloud.p
+    if kernel == "auto":
+        kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if kernel == "pallas":
+        from slam_eslam_tpu.ops import pallas_chain
+
+        sel = jnp.arange(0, p, sampling)
+        sxy, sz = cloud.xy[sel], cloud.z[sel]
+        sstd, sval = cloud.stdev[sel], cloud.valid[sel]
+        c_, s_ = jnp.cos(yaw), jnp.sin(yaw)
+        wx = (c_[:, None] * sxy[None, :, 0] - s_[:, None] * sxy[None, :, 1]
+              + xy[:, 0:1])                                  # [N, Ps]
+        wy = (s_[:, None] * sxy[None, :, 0] + c_[:, None] * sxy[None, :, 1]
+              + xy[:, 1:2])
+        wz = sz[None, :] + z_offset[:, None]
+        pts = jnp.stack([wx, wy, wz], axis=-1)               # [N, Ps, 3]
+        f, mean, stdev = pallas_chain.chain_lookup_blocks(
+            pool.mean, pool.stdev, pool.meta,
+            pool.active()[:, None], pool.origin, pool.resolution,
+            pts, k=pool.k, z_window=z_window,
+            interpret=jax.default_backend() != "tpu",
+        )
+        var = (sigma**2 + stdev**2 + (sstd**2)[None, :]
+               + (offset_stdev**2)[:, None])
+        score = jnp.exp(-0.5 * (wz - mean) ** 2 / var)
+        score = jnp.where(sval[None, :] & f, score, 0.0)
+        return jnp.sum(score, axis=1) / jnp.maximum(jnp.sum(sval), 1)
+
     sample_mask = (jnp.arange(p) % sampling) == 0
     m = cloud.valid & sample_mask
 

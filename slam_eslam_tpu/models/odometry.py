@@ -101,9 +101,6 @@ def update(
     )
     w = jnp.where(both, jnp.minimum(odo.prev_contact, contact), 0.0)
     wsum = jnp.sum(w)
-    disp = odo.prev_points - pts                       # [C, 3]
-    mean_disp = jnp.sum(disp * w[:, None], axis=0) / jnp.maximum(wsum, 1e-9)
-    mean_disp = jnp.where(wsum > 0, mean_disp, jnp.zeros(3, pts.dtype))
 
     yaw_prev = geometry.yaw_from_quat(odo.prev_orientation)
     yaw_cur = geometry.yaw_from_quat(orientation)
@@ -112,6 +109,22 @@ def update(
         jnp.arctan2(jnp.sin(yaw_cur - yaw_prev), jnp.cos(yaw_cur - yaw_prev)),
         0.0,
     )
+
+    # rigid 2-D alignment: a world-fixed stance foot seen from the two
+    # yaw-compensated body frames satisfies t_delta = p_prev - R(dyaw)
+    # p_cur — the yaw-delta rotation must be removed from the current
+    # points BEFORE differencing, or turning leaks rotation into the
+    # translation estimate (worst case |r|*dyaw per update; a closed
+    # loop hid the bias because it integrates to zero over 2*pi)
+    c_d, s_d = jnp.cos(dyaw), jnp.sin(dyaw)
+    pts_rot = jnp.stack(
+        [c_d * pts[:, 0] - s_d * pts[:, 1],
+         s_d * pts[:, 0] + c_d * pts[:, 1],
+         pts[:, 2]], axis=-1,
+    )
+    disp = odo.prev_points - pts_rot                   # [C, 3]
+    mean_disp = jnp.sum(disp * w[:, None], axis=0) / jnp.maximum(wsum, 1e-9)
+    mean_disp = jnp.where(wsum > 0, mean_disp, jnp.zeros(3, pts.dtype))
 
     dist = jnp.linalg.norm(mean_disp[:2])
     sigma_xy = jnp.full(

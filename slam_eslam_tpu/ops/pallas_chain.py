@@ -68,8 +68,16 @@ def _chain_kernel(chain_ref, lxy_ref, z_ref, *refs, nx, ny, k,
         m_blk = field_refs[3 * l][0].astype(jnp.float32)  # [nx, ny*K]
         s_blk = field_refs[3 * l + 1][0].astype(jnp.float32)
         v_blk = (field_refs[3 * l + 2][0] & 1).astype(jnp.float32)
-        rows_m = jnp.dot(oh, m_blk, preferred_element_type=jnp.float32)
-        rows_s = jnp.dot(oh, s_blk, preferred_element_type=jnp.float32)
+        # value-carrying one-hot gathers need EXACT f32: the MXU's
+        # default single-pass dot rounds f32 operands to bf16, which
+        # flips z-window boundary cases vs the XLA gather (seen as
+        # ~1e-4 found-rate parity drift on the compiled backend).
+        # HIGHEST = 6-pass f32 decomposition = bitwise-exact row pick.
+        exact = jax.lax.Precision.HIGHEST
+        rows_m = jnp.dot(oh, m_blk, preferred_element_type=jnp.float32,
+                         precision=exact)
+        rows_s = jnp.dot(oh, s_blk, preferred_element_type=jnp.float32,
+                         precision=exact)
         rows_v = jnp.dot(oh, v_blk, preferred_element_type=jnp.float32)
 
         dist = jnp.abs(rows_m - jnp.broadcast_to(z, (nq, nyk)))
@@ -101,7 +109,8 @@ def _chain_kernel(chain_ref, lxy_ref, z_ref, *refs, nx, ny, k,
 
 
 def chain_lookup_blocks(mean, stdev, meta, chain, origin, resolution,
-                        points, *, k, z_window=3.0, interpret=False):
+                        points, *, k, z_window=3.0, interpret=False,
+                        chunk_particles=None):
     """Batched chain lookup over the block pool.
 
     ``mean/stdev``: pool float fields ``[B, nx, ny*K]`` (f32 or bf16
@@ -114,6 +123,32 @@ def chain_lookup_blocks(mean, stdev, meta, chain, origin, resolution,
     n, levels = chain.shape
     nq_in = points.shape[1]
     ny = nyk // k
+
+    # the flat [N*L] chain rides in SMEM as a scalar-prefetch operand;
+    # SMEM is ~1 MB, so big particle counts must chunk the grid (the
+    # 100k-particle configuration hits 1.2 MB).  Budget 512 KB ->
+    # 131072 int32 words; chunks run sequentially via lax.map (one
+    # compiled body).
+    max_n = (chunk_particles if chunk_particles
+             else max(8, (131072 // levels) // 8 * 8))
+    if n > max_n:
+        c = max_n
+        npad = (-n) % c
+        chain_p = jnp.pad(chain, ((0, npad), (0, 0)),
+                          constant_values=-1)
+        pts_p = jnp.pad(points, ((0, npad), (0, 0), (0, 0)))
+        nch = (n + npad) // c
+        f, m, s = jax.lax.map(
+            lambda args: chain_lookup_blocks(
+                mean, stdev, meta, args[0], origin, resolution,
+                args[1], k=k, z_window=z_window, interpret=interpret,
+                chunk_particles=chunk_particles,
+            ),
+            (chain_p.reshape(nch, c, levels),
+             pts_p.reshape(nch, c, nq_in, 3)),
+        )
+        flat = lambda a: a.reshape((nch * c,) + a.shape[2:])[:n]
+        return flat(f), flat(m), flat(s)
     # pad the query count to a sublane multiple: the kernel slices the
     # [L*C, 1] index column per level at offset l*C, which must land on
     # a sublane (8) boundary for Mosaic

@@ -84,8 +84,15 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (p, ny), 1)
     oyt = (jnp.broadcast_to(ly, (p, ny)) == iota_y).astype(jnp.float32)
 
-    acc_w = jnp.dot(oxw, oyt, preferred_element_type=jnp.float32)
-    acc_wz = jnp.dot(oxwz, oyt, preferred_element_type=jnp.float32)
+    # value-carrying MXU dots must be exact f32: the default
+    # single-pass dot rounds f32 operands to bf16 (the one-hot side is
+    # exact, but w/wz/z/var are not) — map content would drift from the
+    # XLA path on every merge.  HIGHEST = multi-pass f32 decomposition.
+    exact = jax.lax.Precision.HIGHEST
+    acc_w = jnp.dot(oxw, oyt, preferred_element_type=jnp.float32,
+                    precision=exact)
+    acc_wz = jnp.dot(oxwz, oyt, preferred_element_type=jnp.float32,
+                     precision=exact)
 
     has_c = (acc_w > 0.0).astype(jnp.float32)        # [nx, ny]
     z_c = acc_wz / jnp.maximum(acc_w, 1e-30)
@@ -95,8 +102,10 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (ny, nyk), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (ny, nyk), 0)
     expand = (col // k == row).astype(jnp.float32)   # [ny, ny*K]
-    z = jnp.dot(z_c, expand, preferred_element_type=jnp.float32)
-    var = jnp.dot(var_c, expand, preferred_element_type=jnp.float32)
+    z = jnp.dot(z_c, expand, preferred_element_type=jnp.float32,
+                precision=exact)
+    var = jnp.dot(var_c, expand, preferred_element_type=jnp.float32,
+                  precision=exact)
     has = jnp.dot(has_c, expand,
                   preferred_element_type=jnp.float32) > 0.5
 
@@ -194,6 +203,14 @@ def merge_blocks(mean, stdev, height, meta, blk,
     b, nx, nyk = mean.shape
     n, p = lx.shape
     ny = nyk // k
+    # blk rides in SMEM (scalar prefetch, ~1 MB budget); explicit guard
+    # instead of an opaque Mosaic allocation failure.  Chunk the
+    # particle axis (as chain_lookup_blocks does) if this ever fires.
+    assert n * 4 <= 768 * 1024, (
+        f"merge_blocks: {n} particles = {n * 4 / 1024:.0f} KB of "
+        "scalar-prefetch block ids exceeds the SMEM budget; split the "
+        "merge into particle chunks"
+    )
 
     lx3 = jnp.where((lx >= 0) & (lx < nx), lx, nx)[:, None, :]
     ly3 = jnp.where((ly >= 0) & (ly < ny), ly, ny)[:, :, None]

@@ -462,3 +462,76 @@ class TestCompactStorage:
                 np.asarray(getattr(pk, fld), np.float32),
                 rtol=2e-2, atol=2e-2,
             )
+
+
+class TestMatchKernel:
+    def test_pallas_match_matches_xla(self):
+        """match_cloud_all(kernel='pallas') (interpret on CPU) must
+        reproduce the vmapped XLA gather scores — hits, misses,
+        sampling mask and normalisation included."""
+        pool = make_pool(n=4, b=10, with_color=False)
+        key = jax.random.PRNGKey(3)
+        n_pts = 37  # deliberately not a multiple of sampling
+        xy = jax.random.uniform(key, (n_pts, 2), minval=-2.0, maxval=2.0)
+        cloud = PatchCloud.create(
+            xy=xy, z=jnp.full((n_pts,), 0.5),
+            stdev=jnp.full((n_pts,), 0.1),
+            valid=jnp.arange(n_pts) % 5 != 4,
+        )
+        pxy = jnp.zeros((4, 2))
+        yaw = jnp.array([0.0, 0.3, 0.0, 0.0])
+        pool = mp.merge_cloud_all(
+            pool, pxy, yaw, jnp.zeros(4), jnp.zeros(4), cloud, 0
+        )
+        zo = jnp.array([0.0, 2.0, 0.1, -5.0])
+        zs = jnp.array([0.0, 0.1, 0.2, 0.0])
+        args = (pool, pxy, yaw, zo, zs, cloud)
+        for sampling in (1, 3, 10):
+            sx = mp.match_cloud_all(*args, sampling=sampling,
+                                    kernel="xla")
+            sp = mp.match_cloud_all(*args, sampling=sampling,
+                                    kernel="pallas")
+            np.testing.assert_allclose(
+                np.asarray(sp), np.asarray(sx), rtol=1e-5, atol=1e-7,
+                err_msg=f"sampling={sampling}",
+            )
+
+
+class TestChainKernelChunking:
+    def test_chunked_grid_matches_direct(self):
+        """Particle counts whose flat chain exceeds the SMEM
+        scalar-prefetch budget run the kernel in sequential chunks
+        (lax.map) — results must be identical, including ragged tails
+        (n not a multiple of the chunk)."""
+        from slam_eslam_tpu.ops import pallas_chain
+
+        pool = make_pool(n=4, b=10, with_color=False)
+        pool = write_cell(pool, 0, 1.0, 1.0, 2.0)
+        pool = write_cell(pool, 2, -2.0, 0.0, 0.5)
+        # 7 particles, chains referencing the 4 originals
+        chain = jnp.asarray(
+            [[0, -1, -1], [1, 0, -1], [2, -1, -1], [3, 2, -1],
+             [0, 2, -1], [2, 0, -1], [1, -1, -1]], jnp.int32,
+        )
+        rng = np.random.default_rng(5)
+        pts = jnp.asarray(
+            rng.uniform(-4, 4, size=(7, 6, 3)).astype(np.float32)
+        )
+        pts = pts.at[:, 0].set(jnp.array([1.0, 1.0, 2.0]))  # known hit
+        args = (pool.mean, pool.stdev, pool.meta, chain, pool.origin,
+                pool.resolution, pts)
+        kw = dict(k=pool.k, z_window=3.0, interpret=True)
+        rf, rm, rs = pallas_chain.chain_lookup_blocks(*args, **kw)
+        for chunk in (2, 3, 8):
+            cf, cm, cs = pallas_chain.chain_lookup_blocks(
+                *args, **kw, chunk_particles=chunk
+            )
+            np.testing.assert_array_equal(
+                np.asarray(rf), np.asarray(cf), err_msg=f"chunk={chunk}"
+            )
+            np.testing.assert_allclose(
+                np.asarray(rm), np.asarray(cm), err_msg=f"chunk={chunk}"
+            )
+            np.testing.assert_allclose(
+                np.asarray(rs), np.asarray(cs), err_msg=f"chunk={chunk}"
+            )

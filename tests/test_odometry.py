@@ -156,3 +156,58 @@ class TestAsguard:
         # climbing the slope raises the body
         expected = 0.1 * sim.position[1]
         assert abs(sim.position[2] - expected) < 0.25
+
+
+class TestRigidAlignment:
+    """Contact odometry must recover the exact rigid 2-D motion when
+    stance feet are pinned in the world (the defining assumption of
+    foot-contact odometry — ``FootContact::getPoseDelta``,
+    ``PoseEstimator.cpp:188``), INCLUDING under rotation: the yaw delta
+    must be removed from the current points before differencing, or
+    turning leaks rotation into translation."""
+
+    def _frames(self, poses, feet_w):
+        out = []
+        for (x, y, yaw) in poses:
+            c, s = np.cos(yaw), np.sin(yaw)
+            rel = feet_w - np.array([x, y, 0.0])
+            body = np.stack(
+                [c * rel[:, 0] + s * rel[:, 1],
+                 -s * rel[:, 0] + c * rel[:, 1],
+                 rel[:, 2]], axis=-1,
+            )
+            cs = BodyContactState.create(
+                body.astype(np.float32),
+                contact=np.ones(len(feet_w), np.float32),
+            )
+            out.append((cs, geometry.quat_from_yaw(np.float32(yaw))))
+        return out
+
+    def test_pure_rotation_yields_zero_translation(self):
+        feet = np.array([[0.3, 0.2, 0.0], [-0.3, 0.2, 0.0],
+                         [0.3, -0.2, 0.0], [-0.25, -0.18, 0.0]])
+        frames = self._frames([(0, 0, 0.0), (0, 0, 0.6)], feet)
+        st = odom.FootContactOdometry.create(len(feet))
+        for cs, q in frames:
+            st = odom.update(st, cs, q, OdometryConfig())
+        np.testing.assert_allclose(np.asarray(st.delta_xy), 0.0, atol=1e-5)
+        np.testing.assert_allclose(float(st.delta_yaw), 0.6, atol=1e-6)
+
+    def test_turn_plus_translation_recovered(self):
+        feet = np.array([[0.3, 0.2, 0.0], [-0.3, 0.2, 0.0],
+                         [0.3, -0.2, 0.0], [-0.25, -0.18, 0.0]])
+        p1, p2 = (0.4, -0.2, 0.3), (0.55, 0.05, 0.75)
+        frames = self._frames([p1, p2], feet)
+        st = odom.FootContactOdometry.create(len(feet))
+        for cs, q in frames:
+            st = odom.update(st, cs, q, OdometryConfig())
+        # expected translation in frame 1's yaw-compensated frame
+        c, s = np.cos(p1[2]), np.sin(p1[2])
+        d_w = np.array([p2[0] - p1[0], p2[1] - p1[1]])
+        d_b = np.array([c * d_w[0] + s * d_w[1], -s * d_w[0] + c * d_w[1]])
+        np.testing.assert_allclose(
+            np.asarray(st.delta_xy), d_b, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(st.delta_yaw), p2[2] - p1[2], atol=1e-6
+        )

