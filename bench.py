@@ -87,6 +87,11 @@ def main():
         help="(slam mode) per-particle scan-merge path",
     )
     ap.add_argument(
+        "--visual", action="store_true",
+        help="(slam mode) enable the scan-match visual update "
+        "(use_visual_update; w *= match^0.1 per particle)",
+    )
+    ap.add_argument(
         "--chain-len", type=int, default=3, dest="chain_len",
         help="(slam mode) per-particle map chain length; steady state "
         "pins ~particles*chain_len pool blocks",
@@ -292,6 +297,7 @@ def bench_slam(args):
         map_pool_dtype=args.pool_dtype,
         chain_kernel=args.chain_kernel,
         merge_kernel=args.merge_kernel,
+        use_visual_update=args.visual,
         contact_model=ContactModelConfig(
             contact_point_radius=0.0, min_contacts=2
         ),

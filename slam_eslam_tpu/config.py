@@ -144,12 +144,14 @@ class Config:
     # spread-detection fallback to the full gather (production default)
     lookup_mode: str = "auto"
     # window size in cells for the Pallas lookup (int or (wx, wy)).
-    # 96 @ 0.05 m = 4.8 m covers a 100k-particle tracking cloud with
-    # sigma ~0.3 m at +-8 sigma (a 64-cell window sits right at the
-    # +-4.5 sigma extreme -> the auto fallback fires most steps);
-    # measured v5e: 96 = 4.9 ns/query vs 128 = 5.3 (cost scales with
-    # the y-extent of the window; see BENCH.md round 2)
-    lookup_window: int = 96
+    # Kernel cost scales with the Y extent only (stage 1 contracts over
+    # x on the MXU, whose K dim pads to 128 anyway — x width up to 128
+    # is FREE; BENCH.md round-3 sweep: 128x64 = 3.96 ns/q == 64x64,
+    # 128x96 = 4.44 < 96x96 = 4.47).  y = 96 @ 0.05 m = 4.8 m covers a
+    # 100k-particle tracking cloud with sigma ~0.3 m at +-8 sigma
+    # (64 sits at the +-4.5 sigma extreme -> the auto fallback fires
+    # most steps); x = 128 halves fallback triggers at no cost.
+    lookup_window: tuple = (128, 96)
     # number of patch slots per MLS cell (fixed-shape patch lists)
     mls_patches_per_cell: int = 4
     # z search window (m) for MLSMap::getPatch (reference passes 3.0,

@@ -353,6 +353,55 @@ def _fused_select_kernel_t(lxy_ref, z_ref, table_ref, out_ref, *, wx, wy,
     out_ref[...] = jnp.concatenate(out_blocks, axis=1)   # [8, T]
 
 
+def _fused_select_kernel_flat_direct(lxy_ref, z_ref, table_ref, out_ref,
+                                     *, wx, wy, k, z_window, mxu_dtype):
+    """Flat-layout fused select WITHOUT the stage-2 channel-collapse
+    matmul: the z-window slot selection runs directly on the masked
+    ``[WY*2K, T]`` rows (sublane reductions) instead of collapsing to
+    ``[2K, T]`` first.
+
+    Rationale: stage 2's constant selector has M = 2K = 8 output rows,
+    padded to 128 on the MXU — ~6% utilisation, the dominant term of
+    the kernel's measured ~3.5 ns fixed floor (BENCH.md round 2).
+    Whether trading that MXU pass for wider VPU reductions wins is
+    hardware-specific — benchmarked side by side in
+    ``tools/bench_kernels.py``.
+    """
+    c = 2 * k
+    wc = wy * c
+    lxy = lxy_ref[0]                        # [1, T] int32
+    t = lxy.shape[-1]
+    lx = lxy // wy
+    ly = lxy - lx * wy
+
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, t), 0)
+    oh_t = (jnp.broadcast_to(lx, (wx, t)) == iota_x).astype(mxu_dtype)
+    rows_t = jnp.dot(table_ref[...].astype(mxu_dtype), oh_t,
+                     preferred_element_type=jnp.float32)   # [WC, T]
+
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (wc, t), 0)
+    in_group = (rowid // c) == jnp.broadcast_to(ly, (wc, t))
+    is_mean = (rowid % c) < k
+    # stdev of the mean at row y*c+ch sits at row y*c+ch+k: shift the
+    # row axis up by k (cyclic wrap only crosses groups for the last
+    # k stdev rows, which are never mean rows)
+    stds = pltpu.roll(rows_t, shift=wc - k, axis=0)
+    z = jnp.broadcast_to(z_ref[0], (wc, t))
+    dist = jnp.abs(rows_t - z)
+    cand = in_group & is_mean & (stds >= 0.0) & (dist <= z_window)
+    dist_inf = jnp.where(cand, dist, jnp.inf)
+    mind = jnp.min(dist_inf, axis=0, keepdims=True)
+    score = jnp.where(cand & (dist_inf == mind), rowid, wc)
+    best = jnp.min(score, axis=0, keepdims=True)           # [1, T]
+    bm = rowid == best
+    mean_b = jnp.sum(jnp.where(bm, rows_t, 0.0), axis=0, keepdims=True)
+    stdev_b = jnp.sum(jnp.where(bm, stds, 0.0), axis=0, keepdims=True)
+    found = (best < wc).astype(jnp.float32)
+    pad = jnp.zeros((5, t), jnp.float32)
+    out_ref[...] = jnp.concatenate([found, mean_b, stdev_b, pad],
+                                   axis=0)
+
+
 def _fused_select_kernel_flat(lxy_ref, z_ref, table_ref, out_ref, *, wx,
                               wy, k, z_window, mxu_dtype):
     """Transposed fused select with FULL-TILE index rows.
@@ -410,7 +459,7 @@ def _fused_select_kernel_flat(lxy_ref, z_ref, table_ref, out_ref, *, wx,
 
 def window_select_flat(table, lx, ly, z, *, z_window=3.0, tile=1024,
                        interpret=False, mxu_dtype=jnp.bfloat16,
-                       table_t=None, shape=None):
+                       table_t=None, shape=None, direct_select=False):
     """Fused select via ``_fused_select_kernel_flat`` (single-sublane
     full-tile index rows).  Same contract as ``window_select``.
     ``table_t`` ([WY*2K, WX], with ``shape=(wx, wy, 2k)``) skips the
@@ -431,9 +480,11 @@ def window_select_flat(table, lx, ly, z, *, z_window=3.0, tile=1024,
     lxy2 = lxy.reshape(qp // tile, 1, tile)
     z2 = z.reshape(qp // tile, 1, tile).astype(jnp.float32)
 
+    kern = (_fused_select_kernel_flat_direct if direct_select
+            else _fused_select_kernel_flat)
     out = pl.pallas_call(
         functools.partial(
-            _fused_select_kernel_flat, wx=wx, wy=wy, k=k,
+            kern, wx=wx, wy=wy, k=k,
             z_window=z_window, mxu_dtype=mxu_dtype,
         ),
         grid=(qp // tile,),
@@ -627,6 +678,7 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
             table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,
             interpret=interpret, mxu_dtype=mxu_dtype,
             table_t=table_t, shape=tshape,
+            direct_select=(stage2 == "direct"),
         )
     elif layout == "q_lanes":
         found, mean, stdev = window_select_t(

@@ -70,7 +70,13 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
     update_idx = par_ref[0]
     nyk = ny * k
 
-    # ---- accumulate the P points into per-cell (w, w*z) sums --------
+    # ---- accumulate the P points into per-cell (w, w*z) sums,
+    # expanded to the K slot lanes, in ONE MXU dot ---------------------
+    # The y-side one-hot targets the EXPANDED lane axis directly
+    # (oyt_e[pt, l] = ly[pt] == l // K) and the w / w*z rows stack on
+    # sublanes, so accumulation + cell->lane expansion is a single
+    # [2*nx, P] @ [P, ny*K] matmul — round-3 measured ~2.5x less MXU
+    # time than the original acc-then-expand pair of dot chains.
     lx = lx_ref[0]                                   # [1, P] int32
     w = w_ref[0]                                     # [1, P] f32
     wz = wz_ref[0]
@@ -81,33 +87,25 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
     oxwz = ox * jnp.broadcast_to(wz, (nx, p))
 
     ly = lyt_ref[0]                                  # [P, 1] int32
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (p, ny), 1)
-    oyt = (jnp.broadcast_to(ly, (p, ny)) == iota_y).astype(jnp.float32)
+    iota_ye = jax.lax.broadcasted_iota(jnp.int32, (p, nyk), 1) // k
+    oyt_e = (jnp.broadcast_to(ly, (p, nyk)) == iota_ye).astype(
+        jnp.float32
+    )
 
     # value-carrying MXU dots must be exact f32: the default
     # single-pass dot rounds f32 operands to bf16 (the one-hot side is
-    # exact, but w/wz/z/var are not) — map content would drift from the
-    # XLA path on every merge.  HIGHEST = multi-pass f32 decomposition.
+    # exact, but w/wz are not) — map content would drift from the XLA
+    # path on every merge.  HIGHEST = multi-pass f32 decomposition.
     exact = jax.lax.Precision.HIGHEST
-    acc_w = jnp.dot(oxw, oyt, preferred_element_type=jnp.float32,
-                    precision=exact)
-    acc_wz = jnp.dot(oxwz, oyt, preferred_element_type=jnp.float32,
-                     precision=exact)
+    stacked = jnp.concatenate([oxw, oxwz], axis=0)   # [2*nx, P]
+    acc = jnp.dot(stacked, oyt_e, preferred_element_type=jnp.float32,
+                  precision=exact)                   # [2*nx, ny*K]
+    acc_w = jax.lax.slice(acc, (0, 0), (nx, nyk))
+    acc_wz = jax.lax.slice(acc, (nx, 0), (2 * nx, nyk))
 
-    has_c = (acc_w > 0.0).astype(jnp.float32)        # [nx, ny]
-    z_c = acc_wz / jnp.maximum(acc_w, 1e-30)
-    var_c = 1.0 / jnp.maximum(acc_w, 1e-30)
-
-    # ---- expand per-cell values to the K slot lanes ------------------
-    col = jax.lax.broadcasted_iota(jnp.int32, (ny, nyk), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (ny, nyk), 0)
-    expand = (col // k == row).astype(jnp.float32)   # [ny, ny*K]
-    z = jnp.dot(z_c, expand, preferred_element_type=jnp.float32,
-                precision=exact)
-    var = jnp.dot(var_c, expand, preferred_element_type=jnp.float32,
-                  precision=exact)
-    has = jnp.dot(has_c, expand,
-                  preferred_element_type=jnp.float32) > 0.5
+    has = acc_w > 0.0                                # [nx, ny*K]
+    z = acc_wz / jnp.maximum(acc_w, 1e-30)
+    var = 1.0 / jnp.maximum(acc_w, 1e-30)
 
     # ---- envire slot rules on the whole block (fuse_slot_rows) ------
     # float fields may be stored bf16 — all math runs f32 in VMEM,

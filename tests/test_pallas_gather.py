@@ -323,3 +323,41 @@ class TestWindowedGetPatch:
         q = geometry.quat_identity()
         new_state, res = pe.update_weights(state, cs, q, lookup, cfg)
         assert bool(res.measurement_valid.any())
+
+
+class TestDirectSelectVariant:
+    def test_flat_direct_matches_flat(self):
+        """The direct-select flat kernel (no stage-2 matmul) must match
+        the selector-matmul flat kernel bit for bit in interpret mode."""
+        import numpy as np
+
+        from slam_eslam_tpu.ops import pallas_gather as pg
+
+        rng = np.random.default_rng(3)
+        wx = wy = 16
+        k = 4
+        c = 2 * k
+        table = rng.normal(size=(wx, wy, c)).astype(np.float32)
+        # stdev channels: some negative = invalid slots
+        table[..., k:] = rng.uniform(-0.2, 0.4, size=(wx, wy, k))
+        q = 96
+        lx = jnp.asarray(rng.integers(0, wx, q), jnp.int32)
+        ly = jnp.asarray(rng.integers(0, wy, q), jnp.int32)
+        z = jnp.asarray(rng.normal(size=q).astype(np.float32))
+        base = pg.window_select_flat(
+            jnp.asarray(table), lx, ly, z, z_window=1.0, tile=1024,
+            interpret=True, mxu_dtype=jnp.float32,
+        )
+        direct = pg.window_select_flat(
+            jnp.asarray(table), lx, ly, z, z_window=1.0, tile=1024,
+            interpret=True, mxu_dtype=jnp.float32, direct_select=True,
+        )
+        f = np.asarray(base[0])
+        assert f.sum() > 0
+        np.testing.assert_array_equal(f, np.asarray(direct[0]))
+        np.testing.assert_allclose(
+            np.asarray(base[1])[f], np.asarray(direct[1])[f], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(base[2])[f], np.asarray(direct[2])[f], rtol=1e-6
+        )

@@ -166,23 +166,30 @@ def main():
 
     # transposed kernels: layout x window shape x tile
     variants_t = [
-        ("q_lanes", 64, 64, 1024),
-        ("q_flat", 64, 64, 1024),
-        ("q_flat", 64, 64, 2048),
-        ("q_flat", 64, 64, 4096),
-        ("q_flat", 128, 128, 1024),
-        ("q_flat", 128, 128, 2048),
-        ("q_flat", 128, 64, 2048),
-        ("q_flat", 96, 96, 2048),
+        ("q_lanes", 64, 64, 1024, "matmul"),
+        ("q_flat", 64, 64, 1024, "matmul"),
+        ("q_flat", 64, 64, 2048, "matmul"),
+        ("q_flat", 64, 64, 4096, "matmul"),
+        ("q_flat", 128, 128, 1024, "matmul"),
+        ("q_flat", 128, 128, 2048, "matmul"),
+        ("q_flat", 128, 64, 2048, "matmul"),
+        ("q_flat", 96, 96, 2048, "matmul"),
+        ("q_flat", 64, 64, 1024, "direct"),
+        ("q_flat", 64, 64, 2048, "direct"),
+        ("q_flat", 128, 64, 2048, "direct"),
+        ("q_flat", 128, 32, 2048, "direct"),
+        ("q_flat", 96, 96, 2048, "direct"),
+        ("q_flat", 128, 96, 2048, "matmul"),
+        ("q_flat", 128, 96, 2048, "direct"),
     ]
-    for layout, wx, wy, tile in variants_t:
-        label = f"{layout}/w{wx}x{wy}/t{tile}"
+    for layout, wx, wy, tile, s2 in variants_t:
+        label = f"{layout}/{s2}/w{wx}x{wy}/t{tile}"
         try:
             t_f = timeit_chained(
-                lambda p, layout=layout, wx=wx, wy=wy, tile=tile:
+                lambda p, layout=layout, wx=wx, wy=wy, tile=tile, s2=s2:
                     pg.windowed_get_patch_fused(
                         packed, p, window=(wx, wy), tile=tile,
-                        layout=layout,
+                        layout=layout, stage2=s2,
                     )[1],
                 pts,
             )
