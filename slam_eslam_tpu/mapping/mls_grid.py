@@ -233,13 +233,13 @@ class PackedLookup:
         )
 
 
-def get_patch_packed(packed: PackedLookup, points, z_window=3.0):
-    """Batched lookup against a ``PackedLookup`` (same semantics as
-    ``get_patch``; no colour — the slip path uses the unpacked grid)."""
+def get_patch_packed_cells(packed: PackedLookup, ix, iy, z,
+                           z_window=3.0):
+    """``get_patch_packed`` on precomputed flat cell queries: ``ix, iy``
+    int32 ``[Q]`` (unclamped), ``z`` ``[Q]``.  Returns flat
+    ``(found, mean, stdev)`` — the cond-friendly signature shared with
+    ``ops.pallas_gather.windowed_select_cells``."""
     k = packed.k
-    rel = (points[..., :2] - packed.origin) / packed.resolution
-    ix = jnp.floor(rel[..., 0]).astype(jnp.int32)
-    iy = jnp.floor(rel[..., 1]).astype(jnp.int32)
     nx, ny = packed.data.shape[0], packed.data.shape[1]
     inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
     cell = packed.data[jnp.where(inb, ix, 0), jnp.where(inb, iy, 0)]
@@ -247,8 +247,7 @@ def get_patch_packed(packed: PackedLookup, points, z_window=3.0):
     stdevs = cell[..., k:]
     valids = stdevs >= 0.0
 
-    z = points[..., 2:3]
-    dist = jnp.abs(means - z)
+    dist = jnp.abs(means - z[..., None])
     cand = valids & (dist <= z_window)
     dist = jnp.where(cand, dist, jnp.inf)
     best = jnp.argmin(dist, axis=-1)
@@ -256,6 +255,18 @@ def get_patch_packed(packed: PackedLookup, points, z_window=3.0):
     take = partial(jnp.take_along_axis, indices=best[..., None], axis=-1)
     mean = take(means)[..., 0]
     stdev = jnp.abs(take(stdevs)[..., 0])
+    return found, mean, stdev
+
+
+def get_patch_packed(packed: PackedLookup, points, z_window=3.0):
+    """Batched lookup against a ``PackedLookup`` (same semantics as
+    ``get_patch``; no colour — the slip path uses the unpacked grid)."""
+    rel = (points[..., :2] - packed.origin) / packed.resolution
+    ix = jnp.floor(rel[..., 0]).astype(jnp.int32)
+    iy = jnp.floor(rel[..., 1]).astype(jnp.int32)
+    found, mean, stdev = get_patch_packed_cells(
+        packed, ix, iy, points[..., 2], z_window
+    )
     color = jnp.zeros(points.shape[:-1] + (3,), mean.dtype)
     return found, mean, stdev, color
 

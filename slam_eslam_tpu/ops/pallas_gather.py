@@ -614,31 +614,24 @@ def window_select(table, lx, ly, z, *, z_window=3.0, tile=512,
     return out[:, 0] > 0.5, out[:, 1], out[:, 2]
 
 
-def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
-                             tile=512, interpret=False,
-                             mxu_dtype=jnp.bfloat16,
-                             stage1="onehot", stage2="matmul",
-                             center_subsample=0, layout="q_lanes",
-                             rows_f32=True):
-    """``windowed_get_patch`` with the z-window slot selection fused into
-    the kernel (see ``_fused_select_kernel``).
+def windowed_select_cells(packed, ix, iy, z, z_window=3.0, window=64,
+                          tile=512, interpret=False,
+                          mxu_dtype=jnp.bfloat16,
+                          stage1="onehot", stage2="matmul",
+                          center_subsample=0, layout="q_lanes",
+                          rows_f32=True):
+    """Window-kernel select on precomputed FLAT cell queries.
 
-    ``window``: int (square) or ``(wx, wy)``.  Measured on v5e: the
-    64x64 default and 128x64 run at the same speed (the one-hot K dim
-    pads to 128 regardless, so 128x64 gives 2x coverage area for free);
-    128x32 is ~25% slower despite halving the selector-matmul passes —
-    the kernel is not MXU-pass-bound.  ``center_subsample``: when > 0,
-    centre the window on the mean of the first ``s`` queries instead of
-    all Q (a contiguous prefix: strided slices lower to expensive
-    gathers on TPU; measured no win from either on v5e, kept for
-    latency-sensitive small-window configs).
+    ``ix, iy`` int32 ``[Q]`` (unclamped — out-of-grid marks not-found),
+    ``z`` f32 ``[Q]``.  Returns flat ``(found [Q] bool, mean, stdev)``.
+
+    This is the cond-friendly entry: the production auto lookup keeps
+    its ``lax.cond`` operands as these flat 1-D arrays — passing the
+    raw ``[N, C, 3]`` points forced ~1 ms/step of layout-transposing
+    conditional-boundary copies at 100k particles (round-3 trace).
     """
     wx, wy = ((window, window) if isinstance(window, int) else window)
     nx, ny = packed.data.shape[0], packed.data.shape[1]
-    flat = points.reshape(-1, 3)
-    rel = (flat[:, :2] - packed.origin) / packed.resolution
-    ix = jnp.floor(rel[:, 0]).astype(jnp.int32)
-    iy = jnp.floor(rel[:, 1]).astype(jnp.int32)
     inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
 
     cix, ciy = (ix, iy) if center_subsample <= 1 else (
@@ -675,26 +668,62 @@ def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
 
     if layout == "q_flat":
         found, mean, stdev = window_select_flat(
-            table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,
+            table, lxc, lyc, z, z_window=z_window, tile=tile,
             interpret=interpret, mxu_dtype=mxu_dtype,
             table_t=table_t, shape=tshape,
             direct_select=(stage2 == "direct"),
         )
     elif layout == "q_lanes":
         found, mean, stdev = window_select_t(
-            table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,
+            table, lxc, lyc, z, z_window=z_window, tile=tile,
             interpret=interpret, mxu_dtype=mxu_dtype, rows_f32=rows_f32,
             table_t=table_t, shape=tshape,
         )
     else:
         found, mean, stdev = window_select(
-            table, lxc, lyc, flat[:, 2], z_window=z_window, tile=tile,
+            table, lxc, lyc, z, z_window=z_window, tile=tile,
             interpret=interpret, mxu_dtype=mxu_dtype,
             stage1=stage1, stage2=stage2,
         )
-    found = found & inw
-    stdev = jnp.abs(stdev)
+    return found & inw, mean, jnp.abs(stdev)
 
+
+def cells_from_points(packed, points):
+    """Flat cell coordinates + z for a ``[..., 3]`` point batch:
+    ``(ix, iy, z)``, each ``[Q]`` (unclamped cell indices)."""
+    flat = points.reshape(-1, 3)
+    rel = (flat[:, :2] - packed.origin) / packed.resolution
+    ix = jnp.floor(rel[:, 0]).astype(jnp.int32)
+    iy = jnp.floor(rel[:, 1]).astype(jnp.int32)
+    return ix, iy, flat[:, 2]
+
+
+def windowed_get_patch_fused(packed, points, z_window=3.0, window=64,
+                             tile=512, interpret=False,
+                             mxu_dtype=jnp.bfloat16,
+                             stage1="onehot", stage2="matmul",
+                             center_subsample=0, layout="q_lanes",
+                             rows_f32=True):
+    """``windowed_get_patch`` with the z-window slot selection fused into
+    the kernel (see ``_fused_select_kernel``).
+
+    ``window``: int (square) or ``(wx, wy)``.  Measured on v5e: the
+    64x64 default and 128x64 run at the same speed (the one-hot K dim
+    pads to 128 regardless, so 128x64 gives 2x coverage area for free);
+    128x32 is ~25% slower despite halving the selector-matmul passes —
+    the kernel is not MXU-pass-bound.  ``center_subsample``: when > 0,
+    centre the window on the mean of the first ``s`` queries instead of
+    all Q (a contiguous prefix: strided slices lower to expensive
+    gathers on TPU; measured no win from either on v5e, kept for
+    latency-sensitive small-window configs).
+    """
+    ix, iy, z = cells_from_points(packed, points)
+    found, mean, stdev = windowed_select_cells(
+        packed, ix, iy, z, z_window=z_window, window=window, tile=tile,
+        interpret=interpret, mxu_dtype=mxu_dtype, stage1=stage1,
+        stage2=stage2, center_subsample=center_subsample, layout=layout,
+        rows_f32=rows_f32,
+    )
     shape = points.shape[:-1]
     color = jnp.zeros(shape + (3,), mean.dtype)
     return (
@@ -770,23 +799,61 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
             interpret=interpret, mxu_dtype=mxu_dtype,
         )
 
+    def select_cells(ix, iy, z):
+        """Flat-cells select with the auto fallback (if enabled)."""
+        if not fallback:
+            return windowed_select_cells(
+                packed, ix, iy, z, z_window=z_window, window=window,
+                tile=tile, interpret=interpret, mxu_dtype=mxu_dtype,
+                stage1=stage1, stage2=stage2, layout=layout,
+            )
+        ixc = jnp.clip(ix, 0, nx - 1)
+        iyc = jnp.clip(iy, 0, ny - 1)
+        fits = (
+            (jnp.max(ixc) - jnp.min(ixc) < wx)
+            & (jnp.max(iyc) - jnp.min(iyc) < wy)
+        )
+        out = jax.lax.cond(
+            fits,
+            lambda i, j, zz: windowed_select_cells(
+                packed, i, j, zz, z_window=z_window, window=window,
+                tile=tile, interpret=interpret, mxu_dtype=mxu_dtype,
+                stage1=stage1, stage2=stage2, layout=layout,
+            ),
+            lambda i, j, zz: mls_grid.get_patch_packed_cells(
+                packed, i, j, zz, z_window
+            ),
+            ix, iy, z,
+        )
+        # keep the cond results FLAT: without the barrier XLA sinks the
+        # caller's [Q] -> [N, C] reshape into both branches, turning
+        # the cond outputs into lane-padded [N, 8] buffers (~0.4
+        # ms/step of boundary copies at 100k particles, round-3 trace)
+        return jax.lax.optimization_barrier(out)
+
     def one_device(points):
+        if isinstance(points, tuple):
+            # SoA flat queries (x, y, z): the contact model's fast path
+            xf, yf, zf = points
+            ix = jnp.floor(
+                (xf - packed.origin[0]) / packed.resolution
+            ).astype(jnp.int32)
+            iy = jnp.floor(
+                (yf - packed.origin[1]) / packed.resolution
+            ).astype(jnp.int32)
+            return select_cells(ix, iy, zf)
         if not fallback:
             return kernel_path(points)
-        flat = points.reshape(-1, 3)
-        rel = (flat[:, :2] - packed.origin) / packed.resolution
-        ix = jnp.clip(jnp.floor(rel[:, 0]).astype(jnp.int32), 0, nx - 1)
-        iy = jnp.clip(jnp.floor(rel[:, 1]).astype(jnp.int32), 0, ny - 1)
-        fits = (
-            (jnp.max(ix) - jnp.min(ix) < wx)
-            & (jnp.max(iy) - jnp.min(iy) < wy)
-        )
-        return jax.lax.cond(
-            fits,
-            kernel_path,
-            lambda p: mls_grid.get_patch_packed(packed, p, z_window),
-            points,
-        )
+        # the cond operands/results are FLAT 1-D arrays: routing the
+        # [N, C, 3] points through lax.cond forced layout-transposing
+        # boundary copies worth ~1 ms/step at 100k particles (trace,
+        # BENCH.md round 3) — both branches consume cell queries anyway
+        ix, iy, z = cells_from_points(packed, points)
+        found, mean, stdev = select_cells(ix, iy, z)
+        shape = points.shape[:-1]
+        color = jnp.zeros(shape + (3,), mean.dtype)
+        return (found.reshape(shape), mean.reshape(shape),
+                stdev.reshape(shape), color)
 
     def lookup(map_id, points):
         del map_id
@@ -798,15 +865,19 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
                      else __import__(
                          "jax.experimental.shard_map", fromlist=["shard_map"]
                      ).shard_map)
+        n_out = 3 if isinstance(points, tuple) else 4
         return shard_map(
             one_device,
             mesh=mesh,
             in_specs=P("dp"),
-            out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp"),) * n_out,
             # pallas_call outputs carry no varying-mesh-axes metadata
             check_vma=False,
         )(points)
 
     # consumes the whole [N, C, 3] batch (window shared across particles)
     lookup.batched = True
+    # also accepts SoA flat queries ``(x, y, z)`` -> flat
+    # ``(found, mean, stdev)`` — see ``evaluate_pose_batch``
+    lookup.soa = fused
     return lookup

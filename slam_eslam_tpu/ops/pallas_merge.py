@@ -62,12 +62,17 @@ def _group_sum(x, k, lane):
     return out
 
 
-def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
-                  mean_in, stdev_in, height_in, meta_in,
-                  mean_out, stdev_out, height_out, meta_out,
-                  *, nx, ny, k, patch_thickness, gap_size):
-    del blk_ref  # consumed by the index maps
-    update_idx = par_ref[0]
+def _merge_body(update_idx, lx_row, lyt_col, w_row, wz_row,
+                mean, stdev, height, meta,
+                *, nx, ny, k, patch_thickness, gap_size):
+    """The merge math on one in-VMEM block image (f32 [nx, ny*K] float
+    fields + packed int32 meta): accumulate the P points into per-cell
+    inverse-variance sums and apply the envire slot rules.  Shared by
+    the kernel operand layout variants (separate-field / packed).
+
+    ``lx_row/w_row/wz_row`` are ``[1, P]`` rows, ``lyt_col`` a ``[P, 1]``
+    column.  Returns the updated (mean, stdev, height, meta) images.
+    """
     nyk = ny * k
 
     # ---- accumulate the P points into per-cell (w, w*z) sums,
@@ -77,16 +82,16 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
     # sublanes, so accumulation + cell->lane expansion is a single
     # [2*nx, P] @ [P, ny*K] matmul — round-3 measured ~2.5x less MXU
     # time than the original acc-then-expand pair of dot chains.
-    lx = lx_ref[0]                                   # [1, P] int32
-    w = w_ref[0]                                     # [1, P] f32
-    wz = wz_ref[0]
+    lx = lx_row                                      # [1, P] int32
+    w = w_row                                        # [1, P] f32
+    wz = wz_row
     p = lx.shape[-1]
     iota_x = jax.lax.broadcasted_iota(jnp.int32, (nx, p), 0)
     ox = (jnp.broadcast_to(lx, (nx, p)) == iota_x).astype(jnp.float32)
     oxw = ox * jnp.broadcast_to(w, (nx, p))
     oxwz = ox * jnp.broadcast_to(wz, (nx, p))
 
-    ly = lyt_ref[0]                                  # [P, 1] int32
+    ly = lyt_col                                     # [P, 1] int32
     iota_ye = jax.lax.broadcasted_iota(jnp.int32, (p, nyk), 1) // k
     oyt_e = (jnp.broadcast_to(ly, (p, nyk)) == iota_ye).astype(
         jnp.float32
@@ -108,53 +113,67 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
     var = 1.0 / jnp.maximum(acc_w, 1e-30)
 
     # ---- envire slot rules on the whole block (fuse_slot_rows) ------
-    # float fields may be stored bf16 — all math runs f32 in VMEM,
-    # rounded once on the write-back
-    mean = mean_in[0].astype(jnp.float32)            # [nx, ny*K]
-    stdev = stdev_in[0].astype(jnp.float32)
-    height = height_in[0].astype(jnp.float32)
-    meta = meta_in[0]                                # packed int32
     valid = (meta & 1) != 0
     horiz = (meta & 2) != 0
     lane = jax.lax.broadcasted_iota(jnp.int32, (nx, nyk), 1) % k
 
     dist = jnp.abs(mean - z)
-    # (a) Kalman fusion with nearest horizontal patch within thickness
     fuse_cand = valid & horiz & (dist <= patch_thickness)
     fdist = jnp.where(fuse_cand, dist, _BIG)
-    gmin_f = _group_min(fdist, k, lane)
-    can_fuse = gmin_f < _BIG / 2
-    fslot = _group_min(
-        jnp.where(fuse_cand & (fdist <= gmin_f),
-                  lane.astype(jnp.float32), float(k)), k, lane
-    )
-    # (b) vertical extension within gap
     gap_cand = valid & (dist <= gap_size)
     gdist = jnp.where(gap_cand, dist, _BIG)
-    gmin_g = _group_min(gdist, k, lane)
-    can_gap = (gmin_g < _BIG / 2) & ~can_fuse
-    gslot = _group_min(
-        jnp.where(gap_cand & (gdist <= gmin_g),
-                  lane.astype(jnp.float32), float(k)), k, lane
-    )
-    # (c) insertion: first free slot, else evict max-stdev patch
-    free_slot = _group_min(
-        jnp.where(~valid, lane.astype(jnp.float32), float(k)), k, lane
-    )
-    has_free = free_slot < k
     neg_std = jnp.where(valid, -stdev, _BIG)
-    gmin_ns = _group_min(neg_std, k, lane)
-    eslot = _group_min(
-        jnp.where(valid & (neg_std <= gmin_ns),
-                  lane.astype(jnp.float32), float(k)), k, lane
+
+    # the ~2 us/step body cost is Mosaic per-op overhead on small
+    # [nx, ny*K] tiles, not VPU throughput (probe_merge_overhead:
+    # passthrough copy 1.0 us vs full body 2.9 us) — so the seven
+    # group-min and three group-sum passes run as THREE passes over
+    # sublane-stacked images (rolls act on the lane axis only; the
+    # math per rule is unchanged)
+    lanef = lane.astype(jnp.float32)
+
+    # pass 1: per-group minima of the three rule metrics
+    # (a) Kalman fusion with nearest horizontal patch within thickness
+    # (b) vertical extension within gap
+    # (c) eviction candidate: max stdev = min(-stdev)
+    g1 = _group_min(
+        jnp.concatenate([fdist, gdist, neg_std], axis=0), k,
+        jnp.concatenate([lane] * 3, axis=0),
     )
+    gmin_f = jax.lax.slice(g1, (0, 0), (nx, nyk))
+    gmin_g = jax.lax.slice(g1, (nx, 0), (2 * nx, nyk))
+    gmin_ns = jax.lax.slice(g1, (2 * nx, 0), (3 * nx, nyk))
+    can_fuse = gmin_f < _BIG / 2
+    can_gap = (gmin_g < _BIG / 2) & ~can_fuse
+
+    # pass 2: argmin slot per rule + first free slot
+    g2 = _group_min(
+        jnp.concatenate([
+            jnp.where(fuse_cand & (fdist <= gmin_f), lanef, float(k)),
+            jnp.where(gap_cand & (gdist <= gmin_g), lanef, float(k)),
+            jnp.where(valid & (neg_std <= gmin_ns), lanef, float(k)),
+            jnp.where(~valid, lanef, float(k)),
+        ], axis=0), k, jnp.concatenate([lane] * 4, axis=0),
+    )
+    fslot = jax.lax.slice(g2, (0, 0), (nx, nyk))
+    gslot = jax.lax.slice(g2, (nx, 0), (2 * nx, nyk))
+    eslot = jax.lax.slice(g2, (2 * nx, 0), (3 * nx, nyk))
+    free_slot = jax.lax.slice(g2, (3 * nx, 0), (4 * nx, nyk))
+    has_free = free_slot < k
     ins_slot = jnp.where(has_free, free_slot, eslot)
 
     slot = jnp.where(can_fuse, fslot, jnp.where(can_gap, gslot, ins_slot))
-    chosen = (lane.astype(jnp.float32) == slot) & has
+    chosen = (lanef == slot) & has
 
-    sel = lambda v: _group_sum(jnp.where(chosen, v, 0.0), k, lane)
-    m0, s0, h0 = sel(mean), sel(stdev), sel(height)
+    # pass 3: broadcast the chosen slot's fields to its group
+    g3 = _group_sum(
+        jnp.where(jnp.concatenate([chosen] * 3, axis=0),
+                  jnp.concatenate([mean, stdev, height], axis=0), 0.0),
+        k, jnp.concatenate([lane] * 3, axis=0),
+    )
+    m0 = jax.lax.slice(g3, (0, 0), (nx, nyk))
+    s0 = jax.lax.slice(g3, (nx, 0), (2 * nx, nyk))
+    h0 = jax.lax.slice(g3, (2 * nx, 0), (3 * nx, nyk))
 
     w1 = 1.0 / jnp.maximum(s0 * s0, 1e-12)
     w2 = 1.0 / jnp.maximum(var, 1e-12)
@@ -174,13 +193,35 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
     new_horiz = jnp.where(can_fuse | ~can_gap, 1, 0)
 
     upd = chosen
-    ftype = mean_in.dtype
-    mean_out[0] = jnp.where(upd, new_mean, mean).astype(ftype)
-    stdev_out[0] = jnp.where(upd, new_stdev, stdev).astype(ftype)
-    height_out[0] = jnp.where(upd, new_height, height).astype(ftype)
     # written slots: valid=1, horizontal=branch, update_idx=stamp
     new_meta = 1 | (new_horiz << 1) | (update_idx << 2)
-    meta_out[0] = jnp.where(upd, new_meta, meta)
+    return (
+        jnp.where(upd, new_mean, mean),
+        jnp.where(upd, new_stdev, stdev),
+        jnp.where(upd, new_height, height),
+        jnp.where(upd, new_meta, meta),
+    )
+
+
+def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
+                  mean_in, stdev_in, height_in, meta_in,
+                  mean_out, stdev_out, height_out, meta_out,
+                  *, nx, ny, k, patch_thickness, gap_size):
+    del blk_ref  # consumed by the index maps
+    # float fields may be stored bf16 — all math runs f32 in VMEM,
+    # rounded once on the write-back
+    nm, ns, nh, ng = _merge_body(
+        par_ref[0], lx_ref[0], lyt_ref[0], w_ref[0], wz_ref[0],
+        mean_in[0].astype(jnp.float32), stdev_in[0].astype(jnp.float32),
+        height_in[0].astype(jnp.float32), meta_in[0],
+        nx=nx, ny=ny, k=k, patch_thickness=patch_thickness,
+        gap_size=gap_size,
+    )
+    ftype = mean_in.dtype
+    mean_out[0] = nm.astype(ftype)
+    stdev_out[0] = ns.astype(ftype)
+    height_out[0] = nh.astype(ftype)
+    meta_out[0] = ng
 
 
 def merge_blocks(mean, stdev, height, meta, blk,

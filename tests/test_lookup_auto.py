@@ -212,6 +212,80 @@ class TestChittaSelectable:
         assert w["ratio"] != pytest.approx(w["chitta"])
 
 
+class TestSoAQueryPath:
+    def test_soa_matches_aos(self, grid):
+        """The contact model's SoA flat-query fast path (taken when the
+        lookup advertises ``.soa``) must produce identical results to
+        the AoS ``[N, C, 3]`` path — including debug payloads."""
+        n, c = 32, 8
+        cfg_cm = ContactModelConfig(contact_point_radius=0.01,
+                                    min_contacts=2)
+        cfg = Config(lookup_mode="auto", lookup_window=32,
+                     contact_model=cfg_cm)
+        lk = make_lookup(cfg, grid, tile=1024)
+        assert getattr(lk, "soa", False)
+
+        def lk_aos(points):  # same lookup, AoS entry (no .soa attr)
+            return lk(None, points)
+
+        def lk_soa(q):
+            return lk(None, q)
+
+        lk_soa.soa = True
+
+        key = jax.random.PRNGKey(7)
+        cs = BodyContactState.create(
+            jax.random.normal(key, (c, 3)) * 0.2,
+            group_id=jnp.array([0, 0, 1, 1, 2, 2, 3, 3], jnp.int32),
+        )
+        yaw = jax.random.uniform(
+            jax.random.PRNGKey(8), (n,), minval=-1.0, maxval=1.0
+        )
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        zr = jnp.zeros_like(yaw)
+        rot = jnp.stack([
+            jnp.stack([cy, -sy, zr], -1),
+            jnp.stack([sy, cy, zr], -1),
+            jnp.stack([zr, zr, jnp.ones_like(yaw)], -1),
+        ], -2)
+        xy = jax.random.uniform(
+            jax.random.PRNGKey(9), (n, 2), minval=-1.0, maxval=1.0
+        )
+        z = jnp.asarray(
+            terrain(np.asarray(xy[:, 0]), np.asarray(xy[:, 1])),
+            jnp.float32,
+        ) + 0.1
+        trans = jnp.concatenate([xy, z[:, None]], axis=-1)
+        mv = jnp.full((n,), 0.05, jnp.float32)
+
+        res_soa = jax.jit(
+            lambda: cm.evaluate_pose_batch(
+                cs, rot, trans, mv, lk_soa, cfg_cm,
+                with_debug_points=True,
+            )
+        )()
+        res_aos = jax.jit(
+            lambda: cm.evaluate_pose_batch(
+                cs, rot, trans, mv, lk_aos, cfg_cm,
+                with_debug_points=True,
+            )
+        )()
+        assert np.asarray(res_soa.measurement_valid).any()
+        for field in ("weight", "z_delta", "z_var", "pose_var",
+                      "cp_zdiff", "cp_point"):
+            a = np.asarray(getattr(res_soa, field))
+            b = np.asarray(getattr(res_aos, field))
+            np.testing.assert_allclose(
+                np.where(np.isfinite(a), a, 0.0),
+                np.where(np.isfinite(b), b, 0.0),
+                rtol=1e-5, atol=1e-6, err_msg=field,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(res_soa.measurement_valid),
+            np.asarray(res_aos.measurement_valid),
+        )
+
+
 class TestWrapSafeCentroid:
     def test_wrap(self):
         n = 2

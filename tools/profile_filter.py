@@ -18,7 +18,8 @@ def main():
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--lookup", default="window")
-    ap.add_argument("--window", type=int, default=64)
+    ap.add_argument("--window", default="64",
+                    help="int (square) or WXxWY, e.g. 128x96")
     ap.add_argument("--contact-cap", type=int, default=8,
                     dest="contact_cap")
     ap.add_argument("--top", type=int, default=25)
@@ -53,7 +54,9 @@ def main():
     cfg = dataclasses.replace(
         Config(), particle_count=n, min_effective=n // 5,
         contact_model=ContactModelConfig(contact_point_radius=0.0),
-        lookup_mode=args.lookup, lookup_window=args.window,
+        lookup_mode=args.lookup,
+        lookup_window=(tuple(int(v) for v in args.window.split("x"))
+                       if "x" in args.window else int(args.window)),
     )
 
     def terrain(x, y):
