@@ -191,6 +191,12 @@ class Config:
     # kernel shard-locally when map_pool_shards == mesh size; chain
     # lookups fall back to 'xla' (chain tails may be remote).
     merge_kernel: str = "auto"
+    # particles per Pallas-merge grid step (merge_blocks_grouped):
+    # > 1 streams G active blocks per step through a stacked VMEM image
+    # via manual DMA, amortising the kernel's ~2 us/step fixed Mosaic
+    # overhead G-fold (tools/probe_merge_overhead.py).  1 = the
+    # original per-block kernel.
+    merge_group: int = 1
     # per-particle map-CHAIN lookup kernel (the measurement update's
     # ``MLSMap::getPatch`` path, ``PoseEstimator.hpp:97-105``):
     # 'pallas' = ops.pallas_chain block streaming; 'xla' = the vmapped

@@ -284,6 +284,7 @@ class EmbodiedSlamFilter:
                         patch_thickness=cfg.grid_patch_thickness,
                         gap_size=cfg.grid_gap_size,
                         kernel=cfg.merge_kernel,
+                        group=cfg.merge_group,
                     )
                 return state, pool, n_failed
 

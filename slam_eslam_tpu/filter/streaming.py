@@ -282,7 +282,7 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
                     pool, p.xy, p.yaw, p.z, p.z_sigma, cloud, update_idx,
                     patch_thickness=cfg.grid_patch_thickness,
                     gap_size=cfg.grid_gap_size, kernel=merge_kernel,
-                    mesh=merge_mesh,
+                    mesh=merge_mesh, group=cfg.merge_group,
                 )
                 update_idx = update_idx + 1
             return st, pool, update_idx, failed, laser_pos, q
@@ -341,7 +341,7 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
                     pool, p.xy, p.yaw, p.z, p.z_sigma, ccloud, update_idx,
                     patch_thickness=cfg.grid_patch_thickness,
                     gap_size=cfg.grid_gap_size, kernel=merge_kernel,
-                    mesh=merge_mesh,
+                    mesh=merge_mesh, group=cfg.merge_group,
                 )
                 return (st, pool, update_idx + 1, failed + f1 + f2,
                         cam_now, q)

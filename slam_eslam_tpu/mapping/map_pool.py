@@ -496,7 +496,7 @@ def _block_get_patch(pool: MapPool, b, points, z_window, with_color=False):
 def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
                     cloud: PatchCloud, update_idx,
                     patch_thickness=0.1, gap_size=1.5, kernel="auto",
-                    mesh=None):
+                    mesh=None, group=1):
     """Merge one scan cloud into every particle's active grid at once.
 
     The fused equivalent of the reference's per-particle
@@ -551,8 +551,12 @@ def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
         lxm = jnp.where(mask, ix, pool.nx)
         lym = jnp.where(mask, iy, pool.ny)
         uidx_arr = jnp.asarray(update_idx, jnp.int32)
+        # group > 1: G blocks per grid step via manual DMA — amortises
+        # the ~2 us/step fixed Mosaic overhead (probe_merge_overhead)
+        fn = (partial(pallas_merge.merge_blocks_grouped, group=group)
+              if group > 1 else pallas_merge.merge_blocks)
         call = partial(
-            pallas_merge.merge_blocks, k=pool.k,
+            fn, k=pool.k,
             patch_thickness=patch_thickness, gap_size=gap_size,
             interpret=jax.default_backend() != "tpu",
         )

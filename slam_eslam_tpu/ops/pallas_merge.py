@@ -224,6 +224,154 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
     meta_out[0] = ng
 
 
+def _merge_kernel_grouped(blk_ref, par_ref, lxg_ref, lyt_ref, w_ref,
+                          wz_ref, mean_hbm, stdev_hbm, height_hbm,
+                          meta_hbm, mean_out, stdev_out, height_out,
+                          meta_out, scr_m, scr_s, scr_h, scr_g, sem,
+                          *, nx, ny, k, g, n_real, patch_thickness,
+                          gap_size):
+    """G particles' blocks per grid step via MANUAL DMA.
+
+    The per-step cost of ``_merge_kernel`` is dominated by fixed
+    per-op Mosaic overhead on the small ``[nx, ny*K]`` tiles (measured:
+    passthrough copy 1.0 us vs full body 2.9 us/step —
+    ``tools/probe_merge_overhead.py``).  Here the pool fields stay
+    HBM-resident (``memory_space=ANY``, aliased 1:1 in->out) and the
+    kernel DMAs the G scattered active blocks into one ``[G*nx, ny*K]``
+    VMEM scratch image, runs the stacked ``_merge_body`` ONCE (the
+    point one-hot goes global: x index ``lx + j*nx``, sentinel
+    ``g*nx``), and DMAs the updated images back — per-op overhead
+    amortises G-fold.  The padded tail (``i*g+j >= n_real``) skips both
+    copies entirely, so duplicate pad block ids cannot race real
+    writes.
+    """
+    i = pl.program_id(0)
+    ins = (mean_hbm, stdev_hbm, height_hbm, meta_hbm)
+    outs = (mean_out, stdev_out, height_out, meta_out)
+    scrs = (scr_m, scr_s, scr_h, scr_g)
+    def in_copy(j, f):
+        return pltpu.make_async_copy(
+            ins[f].at[blk_ref[i * g + j]],
+            scrs[f].at[pl.ds(j * nx, nx)], sem,
+        )
+
+    for j in range(g):
+        @pl.when(i * g + j < n_real)
+        def _start_in(j=j):
+            for f in range(4):
+                in_copy(j, f).start()
+    for j in range(g):
+        @pl.when(i * g + j < n_real)
+        def _wait_in(j=j):
+            # waits pair with the starts above (same sem, same sizes)
+            for f in range(4):
+                in_copy(j, f).wait()
+
+    nm, ns, nh, ng = _merge_body(
+        par_ref[0], lxg_ref[0], lyt_ref[0], w_ref[0], wz_ref[0],
+        scr_m[...].astype(jnp.float32), scr_s[...].astype(jnp.float32),
+        scr_h[...].astype(jnp.float32), scr_g[...],
+        nx=g * nx, ny=ny, k=k, patch_thickness=patch_thickness,
+        gap_size=gap_size,
+    )
+    ftype = scr_m.dtype
+    scr_m[...] = nm.astype(ftype)
+    scr_s[...] = ns.astype(ftype)
+    scr_h[...] = nh.astype(ftype)
+    scr_g[...] = ng
+    def out_copy(j, f):
+        return pltpu.make_async_copy(
+            scrs[f].at[pl.ds(j * nx, nx)],
+            outs[f].at[blk_ref[i * g + j]], sem,
+        )
+
+    for j in range(g):
+        @pl.when(i * g + j < n_real)
+        def _start_out(j=j):
+            for f in range(4):
+                out_copy(j, f).start()
+    for j in range(g):
+        @pl.when(i * g + j < n_real)
+        def _wait_out(j=j):
+            for f in range(4):
+                out_copy(j, f).wait()
+
+
+def merge_blocks_grouped(mean, stdev, height, meta, blk,
+                         lx, ly, w, wz, update_idx, *, k, group=8,
+                         patch_thickness=0.1, gap_size=1.5,
+                         interpret=False):
+    """``merge_blocks`` processing ``group`` particles per grid step
+    (see ``_merge_kernel_grouped``).  Same contract; bit-identical
+    output (parity-tested)."""
+    b, nx, nyk = mean.shape
+    n, p = lx.shape
+    ny = nyk // k
+    g = max(1, min(group, n))
+    npad = (n + g - 1) // g * g
+    assert npad * 4 <= 768 * 1024, (
+        f"merge_blocks_grouped: {npad} block ids exceed the SMEM "
+        "scalar-prefetch budget; chunk the particle axis first"
+    )
+    ngrid = npad // g
+
+    # pad to a group multiple; padded slots never copy in/out
+    blk_p = jnp.pad(blk.astype(jnp.int32), (0, npad - n))
+    pad_pts = ((0, npad - n), (0, 0))
+    lx_p = jnp.pad(lx, pad_pts)
+    ly_p = jnp.pad(ly, pad_pts)
+    w_p = jnp.pad(w, pad_pts)
+    wz_p = jnp.pad(wz, pad_pts)
+
+    # global x indices on the stacked [G*nx, nyk] image; sentinel G*nx
+    offs = (jnp.arange(g, dtype=jnp.int32) * nx)[None, :, None]
+    lx3 = lx_p.reshape(ngrid, g, p)
+    lxg = jnp.where(
+        (lx3 >= 0) & (lx3 < nx), lx3 + offs, g * nx
+    ).reshape(ngrid, 1, g * p)
+    lyg = jnp.where(
+        (ly_p >= 0) & (ly_p < ny), ly_p, ny
+    ).reshape(ngrid, g * p, 1)
+    wg = w_p.reshape(ngrid, 1, g * p).astype(jnp.float32)
+    wzg = wz_p.reshape(ngrid, 1, g * p).astype(jnp.float32)
+    params = jnp.asarray([update_idx], jnp.int32)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    pt_spec = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i, blk, par: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ngrid,),
+        in_specs=[pt_spec((1, g * p)), pt_spec((g * p, 1)),
+                  pt_spec((1, g * p)), pt_spec((1, g * p))]
+        + [any_spec] * 4,
+        out_specs=[any_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((g * nx, nyk), mean.dtype),
+            pltpu.VMEM((g * nx, nyk), stdev.dtype),
+            pltpu.VMEM((g * nx, nyk), height.dtype),
+            pltpu.VMEM((g * nx, nyk), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    shapes = [jax.ShapeDtypeStruct(mean.shape, mean.dtype),
+              jax.ShapeDtypeStruct(stdev.shape, stdev.dtype),
+              jax.ShapeDtypeStruct(height.shape, height.dtype),
+              jax.ShapeDtypeStruct(mean.shape, jnp.int32)]
+    return pl.pallas_call(
+        functools.partial(
+            _merge_kernel_grouped, nx=nx, ny=ny, k=k, g=g, n_real=n,
+            patch_thickness=patch_thickness, gap_size=gap_size,
+        ),
+        grid_spec=grid_spec,
+        out_shape=shapes,
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        interpret=interpret,
+    )(blk_p, params, lxg, lyg, wg, wzg, mean, stdev, height, meta)
+
+
 def merge_blocks(mean, stdev, height, meta, blk,
                  lx, ly, w, wz, update_idx, *, k,
                  patch_thickness=0.1, gap_size=1.5, interpret=False):

@@ -464,6 +464,75 @@ class TestCompactStorage:
             )
 
 
+class TestGroupedMerge:
+    """merge_blocks_grouped (G blocks/step via manual DMA) must be
+    bit-identical to the per-block kernel, including ragged tails
+    (n % group != 0) and group > n."""
+
+    def _setup(self, n=5):
+        pool = make_pool(n=n, b=12, with_color=False)
+        pool = write_cell(pool, 0, 0.1, 0.1, 1.02)
+        pool = write_cell(pool, 1, -0.9, 0.4, 1.9)
+        key = jax.random.PRNGKey(11)
+        xy_c = jax.random.uniform(key, (48, 2), minval=-2.0, maxval=2.0)
+        cloud = PatchCloud.create(
+            xy=xy_c, z=jnp.full((48,), 1.0),
+            stdev=jnp.full((48,), 0.1), valid=jnp.ones((48,), bool),
+        )
+        xy = jnp.zeros((n, 2))
+        yaw = jnp.linspace(-1.0, 1.0, n)
+        z_off = jnp.linspace(-0.5, 1.0, n)
+        os_ = jnp.full((n,), 0.05)
+        return pool, (xy, yaw, z_off, os_, cloud)
+
+    def _assert_pools_equal(self, a, b):
+        # slot decisions must agree exactly; float fields may differ by
+        # a ULP (the grouped kernel's accumulation dot contracts over
+        # G*P instead of P terms — different HIGHEST-precision
+        # decomposition order)
+        np.testing.assert_array_equal(
+            np.asarray(a.meta), np.asarray(b.meta), err_msg="meta"
+        )
+        for f in ("mean", "stdev", "height"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, f)).astype(np.float32),
+                np.asarray(getattr(b, f)).astype(np.float32),
+                rtol=1e-6, atol=1e-7, err_msg=f,
+            )
+
+    def test_ragged_group(self):
+        pool, args = self._setup(n=5)
+        p1 = mp.merge_cloud_all(pool, *args, 7, kernel="pallas")
+        p4 = mp.merge_cloud_all(pool, *args, 7, kernel="pallas",
+                                group=4)
+        self._assert_pools_equal(p1, p4)
+
+    def test_group_exceeds_n(self):
+        pool, args = self._setup(n=3)
+        p1 = mp.merge_cloud_all(pool, *args, 2, kernel="pallas")
+        pg = mp.merge_cloud_all(pool, *args, 2, kernel="pallas",
+                                group=8)
+        self._assert_pools_equal(p1, pg)
+
+    def test_exact_group(self):
+        pool, args = self._setup(n=4)
+        p1 = mp.merge_cloud_all(pool, *args, 1, kernel="pallas")
+        pg = mp.merge_cloud_all(pool, *args, 1, kernel="pallas",
+                                group=2)
+        self._assert_pools_equal(p1, pg)
+
+    def test_grouped_bf16_pool(self):
+        template = MLSGrid.create(20, 20, 0.5, (-5.0, -5.0), k=2)
+        pool = mp.MapPool.from_template(
+            template, 5, 12, 3, with_color=False, dtype=jnp.bfloat16
+        )
+        _, args = self._setup(n=5)
+        p1 = mp.merge_cloud_all(pool, *args, 3, kernel="pallas")
+        pg = mp.merge_cloud_all(pool, *args, 3, kernel="pallas",
+                                group=4)
+        self._assert_pools_equal(p1, pg)
+
+
 class TestMatchKernel:
     def test_pallas_match_matches_xla(self):
         """match_cloud_all(kernel='pallas') (interpret on CPU) must
