@@ -28,11 +28,12 @@ def main():
         "1024 for --mode slam — per-particle maps scale memory with "
         "particles x map area)",
     )
-    # 50 steps per dispatch: the whole trajectory is one device call,
+    # 150 steps per dispatch: the whole trajectory is one device call,
     # and the ~25 ms tunnel/dispatch latency of this environment must
     # amortise out or it dominates the per-step number (device trace:
-    # 2.3 ms/step actual vs 4.8 ms/step wall at steps=10)
-    ap.add_argument("--steps", type=int, default=50)
+    # 2.81 ms/step actual; 50-step dispatches measure 3.35 ms/step
+    # wall, 150-step 2.85 — round-3 numbers, BENCH.md)
+    ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--lookup", choices=["gather", "window", "auto"], default="auto",
