@@ -552,9 +552,15 @@ def merge_cloud_all(pool: MapPool, xy, yaw, z_offset, offset_stdev,
         lym = jnp.where(mask, iy, pool.ny)
         uidx_arr = jnp.asarray(update_idx, jnp.int32)
         # group > 1: G blocks per grid step via manual DMA — amortises
-        # the ~2 us/step fixed Mosaic overhead (probe_merge_overhead)
+        # the ~2 us/step fixed Mosaic overhead (probe_merge_overhead).
+        # The manual HBM-slice DMAs need a lane-aligned block image
+        # (ny*K % 128 == 0) on the compiled backend; misaligned pools
+        # silently keep the per-block kernel (they already pay 1.3-2x
+        # hidden lane-padding HBM — from_template warns at scale).
+        aligned = (pool.mean.shape[-1] % 128 == 0
+                   or jax.default_backend() != "tpu")
         fn = (partial(pallas_merge.merge_blocks_grouped, group=group)
-              if group > 1 else pallas_merge.merge_blocks)
+              if group > 1 and aligned else pallas_merge.merge_blocks)
         call = partial(
             fn, k=pool.k,
             patch_thickness=patch_thickness, gap_size=gap_size,

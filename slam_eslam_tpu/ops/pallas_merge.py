@@ -307,6 +307,16 @@ def merge_blocks_grouped(mean, stdev, height, meta, blk,
     b, nx, nyk = mean.shape
     n, p = lx.shape
     ny = nyk // k
+    # manual HBM-slice DMAs require the lane dim aligned to the (8,128)
+    # tiling: Mosaic rejects "slice shape along dimension 2 must be
+    # aligned to tiling (128)" otherwise.  The aligned production
+    # geometries (ny*K = 128, 256, ...) qualify; callers fall back to
+    # the per-block kernel for misaligned pools (merge_cloud_all).
+    if not interpret and nyk % 128 != 0:
+        raise ValueError(
+            f"merge_blocks_grouped needs ny*K % 128 == 0 on TPU "
+            f"(got {nyk}); use an aligned grid geometry or group=1"
+        )
     g = max(1, min(group, n))
     npad = (n + g - 1) // g * g
     assert npad * 4 <= 768 * 1024, (
