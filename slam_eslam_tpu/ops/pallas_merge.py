@@ -227,7 +227,8 @@ def _merge_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref, wz_ref,
 def _merge_kernel_grouped(blk_ref, par_ref, lxg_ref, lyt_ref, w_ref,
                           wz_ref, mean_hbm, stdev_hbm, height_hbm,
                           meta_hbm, mean_out, stdev_out, height_out,
-                          meta_out, scr_m, scr_s, scr_h, scr_g, sem,
+                          meta_out, scr_m, scr_s, scr_h, scr_g,
+                          sem_in, sem_out,
                           *, nx, ny, k, g, n_real, patch_thickness,
                           gap_size):
     """G particles' blocks per grid step via MANUAL DMA.
@@ -246,55 +247,78 @@ def _merge_kernel_grouped(blk_ref, par_ref, lxg_ref, lyt_ref, w_ref,
     writes.
     """
     i = pl.program_id(0)
+    ngrid = pl.num_programs(0)
     ins = (mean_hbm, stdev_hbm, height_hbm, meta_hbm)
     outs = (mean_out, stdev_out, height_out, meta_out)
     scrs = (scr_m, scr_s, scr_h, scr_g)
-    def in_copy(j, f):
+
+    # 2-deep revolving pipeline over double-buffered scratch: groups at
+    # consecutive steps touch DISJOINT blocks (unique actives), which
+    # Mosaic's conservative aliased-operand pipelining cannot assume —
+    # the per-block kernel's DMAs measure ~180 GB/s effective (BENCH.md
+    # round 3); hand-rolled prefetch of group i+1 during group i's body
+    # recovers the overlap.
+    def in_copy(step, slot, j, f):
         return pltpu.make_async_copy(
-            ins[f].at[blk_ref[i * g + j]],
-            scrs[f].at[pl.ds(j * nx, nx)], sem,
+            ins[f].at[blk_ref[step * g + j]],
+            scrs[f].at[pl.ds((slot * g + j) * nx, nx)],
+            sem_in.at[slot],
         )
 
-    for j in range(g):
-        @pl.when(i * g + j < n_real)
-        def _start_in(j=j):
-            for f in range(4):
-                in_copy(j, f).start()
-    for j in range(g):
-        @pl.when(i * g + j < n_real)
-        def _wait_in(j=j):
-            # waits pair with the starts above (same sem, same sizes)
-            for f in range(4):
-                in_copy(j, f).wait()
+    def out_copy(step, slot, j, f):
+        return pltpu.make_async_copy(
+            scrs[f].at[pl.ds((slot * g + j) * nx, nx)],
+            outs[f].at[blk_ref[step * g + j]],
+            sem_out.at[slot],
+        )
 
+    def move(copy_fn, step, slot, op):
+        for j in range(g):
+            @pl.when(step * g + j < n_real)
+            def _(j=j):
+                for f in range(4):
+                    getattr(copy_fn(step, slot, j, f), op)()
+
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _prologue():
+        move(in_copy, i, slot, "start")
+
+    move(in_copy, i, slot, "wait")
+
+    @pl.when(i + 1 < ngrid)
+    def _prefetch_next():
+        # the other buffer last held group i-1: drain its write-backs
+        # before overwriting
+        @pl.when(i >= 1)
+        def _():
+            move(out_copy, i - 1, nslot, "wait")
+        move(in_copy, i + 1, nslot, "start")
+
+    off = slot * g * nx
+    ld = lambda ref: ref[pl.ds(off, g * nx), :]
     nm, ns, nh, ng = _merge_body(
         par_ref[0], lxg_ref[0], lyt_ref[0], w_ref[0], wz_ref[0],
-        scr_m[...].astype(jnp.float32), scr_s[...].astype(jnp.float32),
-        scr_h[...].astype(jnp.float32), scr_g[...],
+        ld(scr_m).astype(jnp.float32), ld(scr_s).astype(jnp.float32),
+        ld(scr_h).astype(jnp.float32), ld(scr_g),
         nx=g * nx, ny=ny, k=k, patch_thickness=patch_thickness,
         gap_size=gap_size,
     )
     ftype = scr_m.dtype
-    scr_m[...] = nm.astype(ftype)
-    scr_s[...] = ns.astype(ftype)
-    scr_h[...] = nh.astype(ftype)
-    scr_g[...] = ng
-    def out_copy(j, f):
-        return pltpu.make_async_copy(
-            scrs[f].at[pl.ds(j * nx, nx)],
-            outs[f].at[blk_ref[i * g + j]], sem,
-        )
+    scr_m[pl.ds(off, g * nx), :] = nm.astype(ftype)
+    scr_s[pl.ds(off, g * nx), :] = ns.astype(ftype)
+    scr_h[pl.ds(off, g * nx), :] = nh.astype(ftype)
+    scr_g[pl.ds(off, g * nx), :] = ng
+    move(out_copy, i, slot, "start")
 
-    for j in range(g):
-        @pl.when(i * g + j < n_real)
-        def _start_out(j=j):
-            for f in range(4):
-                out_copy(j, f).start()
-    for j in range(g):
-        @pl.when(i * g + j < n_real)
-        def _wait_out(j=j):
-            for f in range(4):
-                out_copy(j, f).wait()
+    @pl.when(i == ngrid - 1)
+    def _epilogue():
+        @pl.when(i >= 1)
+        def _():
+            move(out_copy, i - 1, nslot, "wait")
+        move(out_copy, i, slot, "wait")
 
 
 def merge_blocks_grouped(mean, stdev, height, meta, blk,
@@ -359,11 +383,12 @@ def merge_blocks_grouped(mean, stdev, height, meta, blk,
         + [any_spec] * 4,
         out_specs=[any_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((g * nx, nyk), mean.dtype),
-            pltpu.VMEM((g * nx, nyk), stdev.dtype),
-            pltpu.VMEM((g * nx, nyk), height.dtype),
-            pltpu.VMEM((g * nx, nyk), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2 * g * nx, nyk), mean.dtype),
+            pltpu.VMEM((2 * g * nx, nyk), stdev.dtype),
+            pltpu.VMEM((2 * g * nx, nyk), height.dtype),
+            pltpu.VMEM((2 * g * nx, nyk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     shapes = [jax.ShapeDtypeStruct(mean.shape, mean.dtype),

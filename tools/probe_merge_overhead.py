@@ -241,113 +241,27 @@ def main():
         results["merge_packed (2 field DMAs)"] = timeit(
             merge_packed, packed)
 
-    # ---- merge_gdma: G blocks/step via MANUAL DMA --------------------
-    # One operand per field (HBM-resident, aliased 1:1 in->out: no
-    # duplicate donation), the kernel DMAs the G scattered blocks into
-    # a [G*nx, nyk] VMEM scratch, runs the stacked body once, and DMAs
-    # the updated images back.
-    def make_merge_gdma(g):
-        ng_ = n // g
-
-        def _kernel(blk_ref, par_ref, lxg_ref, lyt_ref, w_ref, wz_ref,
-                    mean_hbm, stdev_hbm, height_hbm, meta_hbm,
-                    mean_out, stdev_out, height_out, meta_out,
-                    scr_m, scr_s, scr_h, scr_g, sem,
-                    *, nx, ny, k, patch_thickness, gap_size):
-            i = pl.program_id(0)
-            ins = (mean_hbm, stdev_hbm, height_hbm, meta_hbm)
-            outs = (mean_out, stdev_out, height_out, meta_out)
-            scrs = (scr_m, scr_s, scr_h, scr_g)
-            in_copies = []
-            for j in range(g):
-                bid = blk_ref[i * g + j]
-                for f in range(4):
-                    cp = pltpu.make_async_copy(
-                        ins[f].at[bid],
-                        scrs[f].at[pl.ds(j * nx, nx)], sem,
-                    )
-                    cp.start()
-                    in_copies.append(cp)
-            for cp in in_copies:
-                cp.wait()
-            nm, ns, nh, ngm = pallas_merge._merge_body(
-                par_ref[0], lxg_ref[0], lyt_ref[0], w_ref[0], wz_ref[0],
-                scr_m[...], scr_s[...], scr_h[...], scr_g[...],
-                nx=g * nx, ny=ny, k=k,
-                patch_thickness=patch_thickness, gap_size=gap_size)
-            scr_m[...] = nm
-            scr_s[...] = ns
-            scr_h[...] = nh
-            scr_g[...] = ngm
-            out_copies = []
-            for j in range(g):
-                bid = blk_ref[i * g + j]
-                for f in range(4):
-                    cp = pltpu.make_async_copy(
-                        scrs[f].at[pl.ds(j * nx, nx)],
-                        outs[f].at[bid], sem,
-                    )
-                    cp.start()
-                    out_copies.append(cp)
-            for cp in out_copies:
-                cp.wait()
-
-        any_spec = pl.BlockSpec(memory_space=pl.ANY)
-        pt = lambda shape: pl.BlockSpec(
-            (1,) + shape, lambda i, blk, par: (i, 0, 0),
-            memory_space=pltpu.VMEM)
-        gsd = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2, grid=(ng_,),
-            in_specs=[pt((1, g * p)), pt((g * p, 1)), pt((1, g * p)),
-                      pt((1, g * p))] + [any_spec] * 4,
-            out_specs=[any_spec] * 4,
-            scratch_shapes=[
-                pltpu.VMEM((g * nx, nyk), jnp.float32),
-                pltpu.VMEM((g * nx, nyk), jnp.float32),
-                pltpu.VMEM((g * nx, nyk), jnp.float32),
-                pltpu.VMEM((g * nx, nyk), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-            ])
-
-        offs = (jnp.arange(g, dtype=jnp.int32) * nx)[None, :, None]
-        lx3d = lx.reshape(ng_, g, p)
-        lxg = jnp.where(
-            (lx3d >= 0) & (lx3d < nx), lx3d + offs, g * nx,
-        ).reshape(ng_, 1, g * p)
-        lyg = jnp.where((ly >= 0) & (ly < ny), ly, ny).reshape(
-            ng_, g * p, 1)
-        wg = w.reshape(ng_, 1, g * p)
-        wzg = wz.reshape(ng_, 1, g * p)
-
-        def merge_gdma(mean, stdev, height, meta):
-            return tuple(pl.pallas_call(
-                functools.partial(
-                    _kernel, nx=nx, ny=ny, k=k,
-                    patch_thickness=0.1, gap_size=1.5),
-                grid_spec=gsd,
-                out_shape=[
-                    jax.ShapeDtypeStruct((b, nx, nyk), jnp.float32)] * 3
-                + [jax.ShapeDtypeStruct((b, nx, nyk), jnp.int32)],
-                input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
-                interpret=interpret,
-            )(blk, params, lxg, lyg, wg, wzg, mean, stdev, height,
-              meta))
-
-        return merge_gdma
+    # ---- merge_grouped: the production double-buffered G-block path --
+    def make_merge_grouped(g):
+        def merge_g(mean, stdev, height, meta):
+            return tuple(pallas_merge.merge_blocks_grouped(
+                mean, stdev, height, meta, blk, lx, ly, w, wz, 3,
+                k=k, group=g, interpret=interpret))
+        return merge_g
 
     # parity: merge_packed must produce the same map content
     ref = merge(mean, stdev, height, meta)
 
-    for g in (4, 8):
+    for g in (4, 8, 16):
         if n % g:
             continue
-        mgd = make_merge_gdma(g)
-        results[f"merge_gdma{g} (manual DMA)"] = timeit(
+        mgd = make_merge_grouped(g)
+        results[f"merge_grouped{g} (dbl-buf DMA)"] = timeit(
             mgd, mean, stdev, height, meta)
         got_d = mgd(mean, stdev, height, meta)
         dmd = float(jnp.max(jnp.abs(ref[0] - got_d[0])))
         dgd = int(jnp.max(jnp.abs(ref[3] - got_d[3])))
-        print(f"# parity gdma{g}-vs-production: max|dmean|={dmd} "
+        print(f"# parity grouped{g}-vs-production: max|dmean|={dmd} "
               f"max|dmeta|={dgd}")
 
     print(f"# {n} particles, P={p}, block [{nx},{nyk}] f32, "
