@@ -33,7 +33,18 @@ def main():
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--only", default="",
+        help="comma list of variants to run (merge, copy_all, "
+             "copy_fields, copy_packed, merge_packed, grouped4, "
+             "grouped8, grouped16); empty = all")
+    ap.add_argument(
+        "--no-parity", action="store_true",
+        help="skip the grouped-vs-production parity check (each "
+             "unjitted call is a fresh remote compile on TPU)")
     args = ap.parse_args()
+    only = set(filter(None, args.only.split(",")))
+    want = lambda name: not only or name in only
 
     from slam_eslam_tpu.utils.cache import enable_persistent_cache
 
@@ -96,8 +107,9 @@ def main():
             mean, stdev, height, meta, blk, lx, ly, w, wz, 3,
             k=k, interpret=interpret))
 
-    results["merge (production)"] = timeit(merge, mean, stdev, height,
-                                           meta)
+    if want("merge"):
+        results["merge (production)"] = timeit(merge, mean, stdev,
+                                               height, meta)
 
     # ---- copy_all: same operands, passthrough body ------------------
     def _copy_all_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref,
@@ -147,8 +159,9 @@ def main():
             input_output_aliases=aliases, interpret=interpret,
         )(blk, params, lx3, lyt3, w3, wz3, mean, stdev, height, meta))
 
-    results["copy_all (8 field + 4 pt DMAs)"] = timeit(
-        copy_all, mean, stdev, height, meta)
+    if want("copy_all"):
+        results["copy_all (8 field + 4 pt DMAs)"] = timeit(
+            copy_all, mean, stdev, height, meta)
 
     # ---- copy_fields: field operands only ---------------------------
     def _copy_fields_kernel(blk_ref, par_ref, mi, si, hi, gi,
@@ -167,8 +180,9 @@ def main():
             input_output_aliases=al2, interpret=interpret,
         )(blk, params, mean, stdev, height, meta))
 
-    results["copy_fields (8 field DMAs)"] = timeit(
-        copy_fields, mean, stdev, height, meta)
+    if want("copy_fields"):
+        results["copy_fields (8 field DMAs)"] = timeit(
+            copy_fields, mean, stdev, height, meta)
 
     # ---- copy_packed: one packed operand in + out --------------------
     def _copy_packed_kernel(blk_ref, par_ref, pi, po):
@@ -190,7 +204,9 @@ def main():
             input_output_aliases={2: 0}, interpret=interpret,
         )(blk, params, packed)[0]
 
-    results["copy_packed (2 field DMAs)"] = timeit(copy_packed, packed)
+    if want("copy_packed"):
+        results["copy_packed (2 field DMAs)"] = timeit(copy_packed,
+                                                       packed)
 
     # ---- merge_packed: full body on the packed operand ---------------
     def _merge_packed_kernel(blk_ref, par_ref, lx_ref, lyt_ref, w_ref,
@@ -237,7 +253,7 @@ def main():
             input_output_aliases={6: 0}, interpret=interpret,
         )(blk, params, lx3, lyt3, w3, wz3, packed)[0]
 
-    if hasattr(pallas_merge, "_merge_body"):
+    if hasattr(pallas_merge, "_merge_body") and want("merge_packed"):
         results["merge_packed (2 field DMAs)"] = timeit(
             merge_packed, packed)
 
@@ -249,15 +265,17 @@ def main():
                 k=k, group=g, interpret=interpret))
         return merge_g
 
-    # parity: merge_packed must produce the same map content
-    ref = merge(mean, stdev, height, meta)
+    # parity: grouped must produce the same map content
+    ref = None if args.no_parity else merge(mean, stdev, height, meta)
 
     for g in (4, 8, 16):
-        if n % g:
+        if n % g or not want(f"grouped{g}"):
             continue
         mgd = make_merge_grouped(g)
         results[f"merge_grouped{g} (dbl-buf DMA)"] = timeit(
             mgd, mean, stdev, height, meta)
+        if ref is None:
+            continue
         got_d = mgd(mean, stdev, height, meta)
         dmd = float(jnp.max(jnp.abs(ref[0] - got_d[0])))
         dgd = int(jnp.max(jnp.abs(ref[3] - got_d[3])))
