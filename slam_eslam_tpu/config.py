@@ -67,6 +67,12 @@ class ContactModelConfig:
     # alternative model class (``ChittaContactModel``,
     # ``src/ContactModel.hpp:168-173``, ``ContactModel.cpp:342-361``)
     weighting: str = "ratio"
+    # fold the likelihood ratio + group reductions into the Pallas
+    # window kernel when the lookup supports it (``lookup.fold``) and
+    # neither slip/terrain probabilities nor debug points are requested
+    # — semantics-preserving to ~5e-5 rel (the in-kernel Mills-ratio
+    # approximation; see ops.pallas_gather._mills_ratio)
+    fold_lookup: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

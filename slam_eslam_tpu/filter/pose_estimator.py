@@ -155,6 +155,22 @@ def project(
     )
 
 
+def bind_lookup(map_lookup, map_id):
+    """Bind the per-particle ``map_id`` onto a lookup, FORWARDING its
+    capability attributes (``soa``: accepts SoA flat queries; ``fold``:
+    in-kernel contact fold) — a bare lambda would silently strip them
+    and drop ``evaluate_pose_batch`` back to the slow AoS path."""
+    if getattr(map_lookup, "batched", False):
+        bound = lambda pts: map_lookup(map_id, pts)
+    else:
+        bound = lambda pts: jax.vmap(map_lookup)(map_id, pts)
+    bound.soa = getattr(map_lookup, "soa", False)
+    fold = getattr(map_lookup, "fold", None)
+    if fold is not None:
+        bound.fold = fold
+    return bound
+
+
 def update_weights(
     state: PoseEstimatorState,
     contact_state: BodyContactState,
@@ -193,10 +209,7 @@ def update_weights(
     # reductions run as one-hot matmuls (see evaluate_pose_batch).
     # Lookups that handle the full [N, C, 3] batch themselves (shape-
     # polymorphic or Pallas-windowed) declare ``batched = True``.
-    if getattr(map_lookup, "batched", False):
-        batch_lookup = lambda pts: map_lookup(p.map_id, pts)
-    else:
-        batch_lookup = lambda pts: jax.vmap(map_lookup)(p.map_id, pts)
+    batch_lookup = bind_lookup(map_lookup, p.map_id)
     res = cm.evaluate_pose_batch(
         cstate, rot, trans, meas_var, batch_lookup, cfg.contact_model,
         terrain_prob=terrain_prob, with_debug_points=cfg.log_debug,

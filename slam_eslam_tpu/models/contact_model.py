@@ -360,6 +360,69 @@ def evaluate_pose_batch(
 
     active = state.valid & ~(state.contact < CONTACT_THRESHOLD)  # [C]
 
+    fold_fn = getattr(map_lookup_batch, "fold", None)
+    use_fold = (
+        fold_fn is not None
+        and cfg.fold_lookup
+        and cfg.weighting != "chitta"
+        and terrain_prob is None
+        and not with_debug_points
+    )
+    if use_fold:
+        # In-kernel contact fold (ops.pallas_gather
+        # ``_fused_select_contact_kernel``): contact-grid [C, N] world
+        # queries in (contact points on sublanes, particles on lanes —
+        # every operand layout-compact), per-particle weighting stats
+        # [8, N] out; the likelihood ratio, group reductions AND the
+        # per-particle sums all run in VMEM.
+        pxc = state.position[:, 0][:, None]                   # [C, 1]
+        pyc = state.position[:, 1][:, None]
+        pzc = state.position[:, 2][:, None]
+        wx_cn = (rot[:, 0, 0][None, :] * pxc
+                 + rot[:, 0, 1][None, :] * pyc
+                 + rot[:, 0, 2][None, :] * pzc
+                 + trans[:, 0][None, :])                      # [C, N]
+        wy_cn = (rot[:, 1, 0][None, :] * pxc
+                 + rot[:, 1, 1][None, :] * pyc
+                 + rot[:, 1, 2][None, :] * pzc
+                 + trans[:, 1][None, :])
+        wz_cn = (rot[:, 2, 0][None, :] * pxc
+                 + rot[:, 2, 1][None, :] * pyc
+                 + rot[:, 2, 2][None, :] * pzc
+                 + trans[:, 2][None, :] - cfg.contact_point_radius)
+        act_col = active.astype(dtype)[:, None]               # [C, 1]
+        mv_row = meas_var.astype(dtype)[None, :]              # [1, N]
+        out8 = fold_fn(
+            (wx_cn, wy_cn, wz_cn), act_col, mv_row, onehot=onehot,
+            correction=cfg.contact_likelihood_correction,
+        )
+        d1, d2, sq, pv, ncf = (out8[0], out8[1], out8[2], out8[3],
+                               out8[4])
+        n_contacts = jnp.round(ncf).astype(jnp.int32)
+        measurement_valid = n_contacts >= cfg.min_contacts
+        safe_d2 = jnp.where(d2 > 0, d2, 1.0)
+        delta = d1 / safe_d2
+        # sum_i (zdiff_i - delta)^2 / zvar_i == sq - d1 * delta
+        log_pz = (-0.5 * (sq - d1 * delta) if cfg.use_shape_update
+                  else jnp.zeros_like(sq))
+        return ContactEvalResult(
+            measurement_valid=measurement_valid,
+            weight=jnp.exp(log_pz),
+            z_delta=-delta,
+            z_var=jnp.where(d2 > 0, 1.0 / safe_d2, jnp.inf),
+            pose_var=pv,
+            n_contacts=n_contacts,
+            # group-level debug payloads live in the kernel only; the
+            # fold is disabled whenever they are requested
+            cp_point=jnp.zeros((n, num_seg, 3), dtype),
+            cp_zdiff=jnp.zeros((n, num_seg), dtype),
+            cp_zvar=jnp.full((n, num_seg), jnp.inf, dtype),
+            cp_prob=jnp.ones((n, num_seg), dtype),
+            cp_ok=jnp.zeros((n, num_seg), bool),
+            sp_point=jnp.zeros((n, c, 3), dtype),
+            sp_prob=jnp.ones((n, c), dtype),
+            sp_ok=jnp.zeros((n, c), bool),
+        )
     if getattr(map_lookup_batch, "soa", False):
         # SoA query path: build the world points as three FLAT [N*C]
         # arrays with broadcast arithmetic (no einsum) — the fusion

@@ -457,6 +457,271 @@ def _fused_select_kernel_flat(lxy_ref, z_ref, table_ref, out_ref, *, wx,
                                    axis=0)
 
 
+_MILLS_U0 = -3.0
+_MILLS_CF_DEPTH = 8
+
+
+def _mills_ratio(u):
+    """Inverse Mills ratio ``phi(u) / Phi(u)`` from VPU-friendly ops.
+
+    The contact likelihood ratio (``ContactModel.cpp:104-115``) is
+    ``pdf(z;0,s)/cdf(z;0,s) = mills(z/s)/s``.  ``jax.scipy``'s
+    ``log_ndtr`` needs ``erfc``, which this Mosaic version does not
+    lower, so the kernel uses a two-branch approximation built from
+    ``exp``/``div``/``select`` only:
+
+    * ``u >= -3``: ``phi/Phi`` with Abramowitz-Stegun 7.1.26 ``erfc``
+      (abs err 1.5e-7);
+    * ``u < -3``: the Laplace continued fraction
+      ``lambda(u) = x + 1/(x + 2/(x + 3/...))`` (x = -u, depth 8).
+
+    Max relative error 5.2e-5 over u in [-30, 12] vs scipy (asserted in
+    ``tests/test_contact_fold.py``) — far below the bf16 table rounding
+    the TPU lookup path already carries.
+    """
+    u = u.astype(jnp.float32)
+    a = u * jnp.float32(-0.7071067811865476)        # -u / sqrt(2)
+    x = jnp.abs(a)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    e = poly * jnp.exp(-x * x)
+    cphi = 0.5 * jnp.where(a >= 0, e, 2.0 - e)      # Phi(u)
+    phi = jnp.float32(0.3989422804014327) * jnp.exp(-0.5 * u * u)
+    lam_a = phi / jnp.maximum(cphi, 1e-38)
+    xx = jnp.maximum(-u, 0.5)
+    tcf = xx
+    for j in range(_MILLS_CF_DEPTH, 0, -1):
+        tcf = xx + j / tcf
+    return jnp.where(u >= _MILLS_U0, lam_a, tcf)
+
+
+def _contact_rows(found, mean, stdev, z, av, mv, correction):
+    """Shared fold epilogue math: per-query contact-model quantities.
+
+    ``found``/``mean``/``stdev`` are the z-selected lookup results (any
+    matching shape), ``z`` the query heights, ``av`` the 0/1 active
+    mask (already ANDed with any in-window mask), ``mv`` the per-query
+    measurement variance.  Returns the five group-sum integrands
+    ``(ratio, ratio*zdiff, ratio*zvar, ratio*pose_var, contrib)``
+    replicating ``ContactModel.cpp:160-208`` (see
+    ``models.contact_model.evaluate_pose``).
+    """
+    zdiff = z - mean
+    pose_var = stdev * stdev
+    zvar = pose_var + mv
+    s = jnp.sqrt(zvar) * correction
+    ratio = _mills_ratio(zdiff / s) / s
+    contrib = av * found
+    rm = jnp.where(contrib > 0.5, ratio, 0.0)
+    return rm, rm * zdiff, rm * zvar, rm * pose_var, contrib
+
+
+def _contact_group_stats(rm, rz, rv, rp, contrib, act_col, seg_oh,
+                         n_seg):
+    """Segment sums + group-level contact math + per-particle totals.
+
+    All inputs are contact-grid arrays: rows = contact points (C on
+    SUBLANES), lanes = particles.  ``act_col [C, 1]`` is the active
+    mask, ``seg_oh [C, S]`` the segment membership.  Runs identically
+    inside the Mosaic kernel and in plain XLA (the spread-fallback
+    branch) — pure f32 VPU ops, no matmuls.  Returns the five
+    per-particle rows ``(d1, d2, sq, pose_var, n_contacts)`` [1, N]
+    from which ``evaluate_pose_batch`` reconstructs the reference
+    weighting (``ContactModel.cpp:262-317``):
+
+      delta  = d1 / d2
+      sum_i (zdiff_i - delta)^2 / zvar_i  =  sq - d1^2 / d2
+    """
+    tp = rm.shape[-1]
+    zero = jnp.zeros((1, tp), jnp.float32)
+    d1, d2, sq, pv, nc = zero, zero, zero, zero, zero
+    cp = rm.shape[0]
+    for s in range(n_seg):
+        mcol = seg_oh[:, s:s + 1]                       # [C, 1]
+        m = jnp.broadcast_to(mcol, (cp, tp))
+        rsum = jnp.sum(rm * m, axis=0, keepdims=True)   # [1, N]
+        zds = jnp.sum(rz * m, axis=0, keepdims=True)
+        zvs = jnp.sum(rv * m, axis=0, keepdims=True)
+        pvs = jnp.sum(rp * m, axis=0, keepdims=True)
+        ncb = jnp.sum(contrib * m, axis=0, keepdims=True)
+        act_s = jnp.sum(act_col * mcol)                 # scalar
+        # group invalid when any active member missed the map
+        # (ContactModel.cpp:189-190): n_contrib < n_active
+        ok = (ncb >= act_s - 0.5) & (ncb > 0.5) & (rsum > 1e-9)
+        okf = ok.astype(jnp.float32)
+        safe = jnp.where(ok, rsum, 1.0)
+        czd = jnp.where(ok, zds / safe, 0.0)            # cp_zdiff
+        inv = okf * safe / jnp.where(ok, zvs, 1.0)      # 1 / cp_zvar
+        d1 = d1 + czd * inv
+        d2 = d2 + inv
+        sq = sq + czd * czd * inv
+        pv = pv + okf * pvs / safe
+        nc = nc + okf
+    return d1, d2, sq, pv, nc
+
+
+def _fused_select_contact_kernel(lxy_ref, z_ref, av_ref, mv_ref,
+                                 act_ref, soh_ref, table_ref, out_ref,
+                                 *, wx, wy, k, z_window, mxu_dtype,
+                                 correction, n_seg):
+    """Contact-grid fused select + full contact-model fold.
+
+    Layout (the round-3 design that finally beat the XLA postlude):
+    operands are ``[C, N]`` — contact points on SUBLANES (C = 8 fills a
+    vreg row exactly), particles on LANES — so every per-query array is
+    layout-compact and the group reductions are plain sublane sums.
+    Per grid step the kernel processes ``TP`` particles (``C * TP``
+    queries): per contact row, stage-1/2 one-hot matmuls + z-window
+    slot selection (as ``_fused_select_kernel_flat``); then the
+    likelihood-ratio epilogue (``_mills_ratio``) and the ENTIRE group
+    + particle reduction pipeline (``_contact_group_stats``) run on
+    ``[C, TP]`` vregs.  Output: ``[8, TP]`` per-particle rows
+    (d1, d2, sq, pose_var, n_contacts, 0, 0, 0) — ~C*S/8x less HBM
+    write traffic than per-query rows, and the downstream XLA step is
+    a handful of ``[N]`` elementwise ops.
+    """
+    c2 = 2 * k
+    wc = wy * c2
+    cp = lxy_ref.shape[0]
+    tp = lxy_ref.shape[-1]
+    table_t = table_ref[...].astype(mxu_dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c2, wc), 1)
+    outc = jax.lax.broadcasted_iota(jnp.int32, (c2, wc), 0)
+    sel_t = ((col % c2) == outc).astype(mxu_dtype)
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (wx, tp), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (c2, tp), 0)
+    is_mean = lane2 < k
+
+    founds, means, stds_out = [], [], []
+    for ci in range(cp):
+        lxyr = lxy_ref[ci:ci + 1, :]                    # [1, TP]
+        lx = lxyr // wy
+        ly = lxyr - lx * wy
+        oh = (jnp.broadcast_to(lx, (wx, tp)) == iota_x).astype(mxu_dtype)
+        rows_t = jnp.dot(table_t, oh,
+                         preferred_element_type=jnp.float32)  # [WC, TP]
+        rowgrp = jax.lax.broadcasted_iota(jnp.int32, (wc, tp), 0) // c2
+        mask = rowgrp == jnp.broadcast_to(ly, (wc, tp))
+        masked = jnp.where(mask, rows_t, 0.0).astype(mxu_dtype)
+        cell = jnp.dot(sel_t, masked,
+                       preferred_element_type=jnp.float32)    # [C2, TP]
+
+        zr = jnp.broadcast_to(z_ref[ci:ci + 1, :], (c2, tp))
+        stds = pltpu.roll(cell, shift=k, axis=0)
+        dist = jnp.abs(cell - zr)
+        cand = is_mean & (stds >= 0.0) & (dist <= z_window)
+        dist_inf = jnp.where(cand, dist, jnp.inf)
+        mind = jnp.min(dist_inf, axis=0, keepdims=True)
+        score = jnp.where(cand & (dist_inf == mind), lane2, c2)
+        best = jnp.min(score, axis=0, keepdims=True)          # [1, TP]
+        bm = lane2 == best
+        means.append(
+            jnp.sum(jnp.where(bm, cell, 0.0), axis=0, keepdims=True))
+        stds_out.append(jnp.abs(
+            jnp.sum(jnp.where(bm, stds, 0.0), axis=0, keepdims=True)))
+        founds.append((best < c2).astype(jnp.float32))
+
+    found = jnp.concatenate(founds, axis=0)             # [C, TP]
+    mean = jnp.concatenate(means, axis=0)
+    stdev = jnp.concatenate(stds_out, axis=0)
+    mv = jnp.broadcast_to(mv_ref[0:1, :], (cp, tp))
+    rm, rz, rv, rp, contrib = _contact_rows(
+        found, mean, stdev, z_ref[...], av_ref[...], mv, correction)
+    d1, d2, sq, pv, nc = _contact_group_stats(
+        rm, rz, rv, rp, contrib, act_ref[...], soh_ref[...], n_seg)
+    out_ref[...] = jnp.concatenate(
+        [d1, d2, sq, pv, nc, jnp.zeros((3, tp), jnp.float32)], axis=0)
+
+
+def contact_fold_sums(found, mean, stdev, z, av, mv, act_col, seg_oh,
+                      correction):
+    """XLA twin of the contact-fold kernel on ``[C, N]`` contact-grid
+    lookup results (the production auto-lookup's spread-fallback
+    branch and the parity oracle).  Returns ``[8, N]`` float32 rows
+    ``(d1, d2, sq, pose_var, n_contacts, 0, 0, 0)``."""
+    cp, n = found.shape
+    rows = _contact_rows(
+        found.astype(jnp.float32), mean, jnp.abs(stdev), z, av,
+        jnp.broadcast_to(mv, (cp, n)), correction)
+    n_seg = seg_oh.shape[1]
+    d1, d2, sq, pv, nc = _contact_group_stats(
+        *rows, act_col.astype(jnp.float32), seg_oh.astype(jnp.float32),
+        n_seg)
+    return jnp.concatenate(
+        [d1, d2, sq, pv, nc, jnp.zeros((3, n), jnp.float32)], axis=0)
+
+
+def window_select_contact(table, lx, ly, z, av, mv, act_col, seg_oh, *,
+                          correction, z_window=3.0, tile=1024,
+                          interpret=False, mxu_dtype=jnp.bfloat16,
+                          table_t=None, shape=None):
+    """Fused lookup + z-select + contact fold over a VMEM window.
+
+    Contact-grid operands: ``lx, ly`` int32 ``[C, N]`` pre-clamped to
+    the window, ``z``/``av`` float32 ``[C, N]`` (``av`` = active &
+    in-window mask as 0/1), ``mv [1, N]`` per-particle measurement
+    variance, ``act_col [C, 1]`` the active mask alone, ``seg_oh
+    [C, S]`` the (traced) segment membership.  Returns ``[8, N]`` f32
+    per-particle rows (d1, d2, sq, pose_var, n_contacts, 0, 0, 0).
+    """
+    if table_t is None:
+        wx, wy, c = table.shape
+        table_t = table.reshape(wx, wy * c).T
+    else:
+        wx, wy, c = shape
+    k = c // 2
+    c_pts, n = lx.shape
+    n_seg = seg_oh.shape[1]
+    cpad = (c_pts + 7) // 8 * 8 - c_pts
+    tp = max(128, tile // 128 * 128)
+    npad = (n + tp - 1) // tp * tp - n
+    lxy = lx * wy + ly
+
+    def padq(x, cval=0.0):
+        return jnp.pad(x, ((0, cpad), (0, npad)), constant_values=cval)
+
+    lxy = padq(lxy)
+    z2 = padq(z).astype(jnp.float32)
+    av2 = padq(av).astype(jnp.float32)       # padded rows/cols inactive
+    mv2 = jnp.pad(mv, ((0, 0), (0, npad)),
+                  constant_values=1.0).astype(jnp.float32)
+    act2 = jnp.pad(act_col, ((0, cpad), (0, 0))).astype(jnp.float32)
+    soh2 = jnp.pad(seg_oh, ((0, cpad), (0, 0))).astype(jnp.float32)
+    cp = c_pts + cpad
+    ntiles = (n + npad) // tp
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_select_contact_kernel, wx=wx, wy=wy, k=k,
+            z_window=z_window, mxu_dtype=mxu_dtype,
+            correction=correction, n_seg=n_seg,
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((cp, tp), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, tp), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, tp), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, n_seg), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wy * c, wx), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tp), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n + npad), jnp.float32),
+        interpret=interpret,
+    )(lxy, z2, av2, mv2, act2, soh2, table_t)
+    return out[:, :n]
+
+
 def window_select_flat(table, lx, ly, z, *, z_window=3.0, tile=1024,
                        interpret=False, mxu_dtype=jnp.bfloat16,
                        table_t=None, shape=None, direct_select=False):
@@ -855,6 +1120,107 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
         return (found.reshape(shape), mean.reshape(shape),
                 stdev.reshape(shape), color)
 
+    def fold_one_device(ix, iy, z, act_col, mv, onehot, correction):
+        """Contact-fold lookup on one shard: window kernel with the
+        in-VMEM contact epilogue, spread-fallback to the exact gather +
+        ``contact_fold_sums`` (same math, same ``[8, N]`` output).
+        All query operands are contact-grid ``[C, N]``."""
+
+        def kernel_branch(ix, iy, zz, act, mv):
+            ixc = jnp.clip(ix, 0, nx - 1)
+            iyc = jnp.clip(iy, 0, ny - 1)
+            cx = jnp.clip(
+                jnp.mean(ixc).astype(jnp.int32) - wx // 2,
+                0, max(nx - wx, 0),
+            )
+            cy = jnp.clip(
+                jnp.mean(iyc).astype(jnp.int32) - wy // 2,
+                0, max(ny - wy, 0),
+            )
+            c = 2 * packed.k
+            if packed.data_t is not None:
+                table = None
+                table_t = jax.lax.dynamic_slice(
+                    packed.data_t, (cy, 0, cx), (wy, c, wx)
+                ).reshape(wy * c, wx)
+                tshape = (wx, wy, c)
+            else:
+                table = jax.lax.dynamic_slice(
+                    packed.data, (cx, cy, 0), (wx, wy, c)
+                )
+                table_t, tshape = None, None
+            lx = ix - cx
+            ly = iy - cy
+            inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+            inw = (inb & (lx >= 0) & (lx < wx)
+                   & (ly >= 0) & (ly < wy))
+            av = act * inw.astype(jnp.float32)
+            return window_select_contact(
+                table, jnp.clip(lx, 0, wx - 1),
+                jnp.clip(ly, 0, wy - 1), zz, av, mv, act, onehot,
+                correction=correction,
+                z_window=z_window, tile=tile, interpret=interpret,
+                mxu_dtype=mxu_dtype, table_t=table_t, shape=tshape,
+            )
+
+        def gather_branch(ix, iy, zz, act, mv):
+            f, m, sd = mls_grid.get_patch_packed_cells(
+                packed, ix.reshape(-1), iy.reshape(-1),
+                zz.reshape(-1), z_window
+            )
+            shp = ix.shape
+            av = jnp.broadcast_to(act, shp)
+            return contact_fold_sums(
+                f.reshape(shp), m.reshape(shp), sd.reshape(shp), zz,
+                av, mv, act, onehot, correction,
+            )
+
+        if not fallback:
+            return kernel_branch(ix, iy, z, act_col, mv)
+        ixc = jnp.clip(ix, 0, nx - 1)
+        iyc = jnp.clip(iy, 0, ny - 1)
+        fits = (
+            (jnp.max(ixc) - jnp.min(ixc) < wx)
+            & (jnp.max(iyc) - jnp.min(iyc) < wy)
+        )
+        out = jax.lax.cond(
+            fits, kernel_branch, gather_branch, ix, iy, z, act_col, mv
+        )
+        return jax.lax.optimization_barrier(out)
+
+    def fold(queries, act_col, mv, *, onehot, correction):
+        """Batched contact-model fold (see ``evaluate_pose_batch``):
+        contact-grid ``[C, N]`` SoA world queries, ``act_col [C, 1]``
+        active mask, ``mv [1, N]`` measurement variance -> ``[8, N]``
+        per-particle rows (d1, d2, sq, pose_var, n_contacts, 0, 0, 0);
+        no per-query array ever reaches HBM on the kernel branch."""
+        xf, yf, zf = queries
+        ix = jnp.floor(
+            (xf - packed.origin[0]) / packed.resolution
+        ).astype(jnp.int32)
+        iy = jnp.floor(
+            (yf - packed.origin[1]) / packed.resolution
+        ).astype(jnp.int32)
+        if mesh is None:
+            return fold_one_device(ix, iy, zf, act_col, mv, onehot,
+                                   correction)
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = (jax.shard_map if hasattr(jax, "shard_map")
+                     else __import__(
+                         "jax.experimental.shard_map",
+                         fromlist=["shard_map"]
+                     ).shard_map)
+        return shard_map(
+            lambda i, j, zz, a, m: fold_one_device(
+                i, j, zz, a, m, onehot, correction),
+            mesh=mesh,
+            in_specs=(P(None, "dp"), P(None, "dp"), P(None, "dp"),
+                      P(None, None), P(None, "dp")),
+            out_specs=P(None, "dp"),
+            check_vma=False,
+        )(ix, iy, zf, act_col, mv)
+
     def lookup(map_id, points):
         del map_id
         if mesh is None:
@@ -880,4 +1246,7 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
     # also accepts SoA flat queries ``(x, y, z)`` -> flat
     # ``(found, mean, stdev)`` — see ``evaluate_pose_batch``
     lookup.soa = fused
+    if fused:
+        # in-kernel contact-model fold (group sums out, see ``fold``)
+        lookup.fold = fold
     return lookup

@@ -193,3 +193,71 @@ class TestCompiledMerge:
             assert close >= 0.999, f"{fld}: only {close:.6f} close"
         na, nb = int((ma & 1).sum()), int((mb & 1).sum())
         assert abs(na - nb) <= max(1, int(0.001 * nb)), (na, nb)
+
+
+class TestCompiledContactFold:
+    def test_fold_matches_unfolded_on_tpu(self):
+        """Compiled-Mosaic parity for the contact-fold kernel
+        (ops.pallas_gather._fused_select_contact_kernel): the folded
+        per-particle weighting stats must match the unfolded XLA path
+        to bf16-table accuracy (both use the same bf16 window gather;
+        the fold adds only the ~5e-5-rel Mills approximation)."""
+        import dataclasses as dc
+
+        from slam_eslam_tpu.config import Config, ContactModelConfig
+        from slam_eslam_tpu.core.state import BodyContactState
+        from slam_eslam_tpu.filter import pose_estimator as pe
+        from slam_eslam_tpu.mapping.lookup import make_lookup
+        from slam_eslam_tpu.models import contact_model as cm
+        from slam_eslam_tpu.models import sim as simlib
+
+        def terrain(x, y):
+            return 0.3 * np.sin(np.asarray(x)) + 0.2 * np.cos(
+                0.7 * np.asarray(y))
+
+        grid = simlib.terrain_grid(
+            terrain, nx=128, ny=128, resolution=0.1, origin=(-6.4, -6.4))
+        n = 512
+        cs = BodyContactState.create(
+            np.array([[0.2, 0.1, -0.1], [-0.2, 0.1, -0.12],
+                      [0.2, -0.1, -0.09], [-0.2, -0.1, -0.11],
+                      [0.0, 0.2, -0.1], [0.0, -0.2, -0.1],
+                      [0.1, 0.0, -0.1], [-0.1, 0.0, -0.1]], np.float32),
+            group_id=np.array([0, 0, 1, 1, 2, 2, 3, 3], np.int32),
+        )
+        key = jax.random.PRNGKey(3)
+        xy = jax.random.uniform(key, (n, 2), minval=-1.5, maxval=1.5)
+        z = jnp.asarray(terrain(np.asarray(xy[:, 0]),
+                                np.asarray(xy[:, 1])), jnp.float32)
+        rot = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+        trans = jnp.concatenate([xy, (z + 0.1)[:, None]], axis=-1)
+        meas_var = jnp.full((n,), 0.09, jnp.float32)
+
+        out = {}
+        for fold in (True, False):
+            cmc = ContactModelConfig(
+                contact_point_radius=0.0, min_contacts=2,
+                fold_lookup=fold)
+            cfg = Config(lookup_mode="auto", lookup_window=32,
+                         contact_model=cmc)
+            lookup = make_lookup(cfg, grid, tile=1024)
+            bound = pe.bind_lookup(lookup, None)
+            out[fold] = jax.jit(
+                lambda r, t, m, b=bound, c=cmc: cm.evaluate_pose_batch(
+                    cs, r, t, m, b, c))(rot, trans, meas_var)
+        a, b = out[True], out[False]
+        np.testing.assert_array_equal(
+            np.asarray(a.measurement_valid),
+            np.asarray(b.measurement_valid))
+        np.testing.assert_array_equal(
+            np.asarray(a.n_contacts), np.asarray(b.n_contacts))
+        # bf16 window gather dominates the tolerance budget on TPU
+        np.testing.assert_allclose(
+            np.asarray(a.weight), np.asarray(b.weight), rtol=2e-2,
+            atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(a.z_delta), np.asarray(b.z_delta), rtol=2e-2,
+            atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(a.pose_var), np.asarray(b.pose_var), rtol=2e-2,
+            atol=1e-4)
