@@ -51,6 +51,12 @@ def main():
         "(semantics-preserving when >= active count; 0 disables)",
     )
     ap.add_argument(
+        "--fold", choices=["on", "off"], default="on",
+        help="(filter mode) in-kernel contact fold: likelihood ratio + "
+        "group reductions run inside the Pallas window kernel "
+        "(ContactModelConfig.fold_lookup)",
+    )
+    ap.add_argument(
         "--mode", choices=["filter", "slam"], default="filter",
         help="filter: localisation step throughput (headline); "
         "slam: full EmbodiedSlamFilter loop with per-particle maps, "
@@ -141,7 +147,8 @@ def main():
         particle_count=n,
         min_effective=(n // 5 if args.min_effective < 0
                        else args.min_effective),
-        contact_model=ContactModelConfig(contact_point_radius=0.0),
+        contact_model=ContactModelConfig(
+            contact_point_radius=0.0, fold_lookup=(args.fold == "on")),
         lookup_mode=args.lookup,
         **({"lookup_window": args.window} if args.window else {}),
     )
