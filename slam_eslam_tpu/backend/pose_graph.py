@@ -31,6 +31,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# solver-grade contractions: the TPU MXU default rounds f32
+# operands to bf16, which degrades GN/PCG convergence — pin exact
+# multi-pass f32 (the per-edge einsums are tiny; cost is negligible)
+from functools import partial as _partial
+_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 def wrap_angle(a):
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
@@ -128,7 +134,7 @@ def robust_edge_weights(graph: PoseGraph, kind="huber", delta=1.0):
     rescales the edge information matrices by these factors.
     """
     r, _, _ = edge_residuals(graph)
-    chi2_e = jnp.einsum("ei,eij,ej->e", r, graph.edge_info, r)
+    chi2_e = _einsum("ei,eij,ej->e", r, graph.edge_info, r)
     if kind == "huber":
         w = jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(chi2_e, 1e-12)))
     elif kind == "dcs":
@@ -187,16 +193,16 @@ def gauss_newton_step(graph: PoseGraph, damping=1e-6, fix_first=True,
     info = graph.edge_info * w
 
     chi2 = jnp.sum(
-        jnp.einsum("ei,eij,ej->e", r, graph.edge_info, r)
+        _einsum("ei,eij,ej->e", r, graph.edge_info, r)
         * graph.edge_valid
     )
 
     # block contributions
-    hii = jnp.einsum("eki,ekl,elj->eij", ji, info, ji)
-    hij = jnp.einsum("eki,ekl,elj->eij", ji, info, jj)
-    hjj = jnp.einsum("eki,ekl,elj->eij", jj, info, jj)
-    bi = jnp.einsum("eki,ekl,el->ei", ji, info, r)
-    bj = jnp.einsum("eki,ekl,el->ei", jj, info, r)
+    hii = _einsum("eki,ekl,elj->eij", ji, info, ji)
+    hij = _einsum("eki,ekl,elj->eij", ji, info, jj)
+    hjj = _einsum("eki,ekl,elj->eij", jj, info, jj)
+    bi = _einsum("eki,ekl,el->ei", ji, info, r)
+    bj = _einsum("eki,ekl,el->ei", jj, info, r)
 
     h = jnp.zeros((m, m, d, d), r.dtype)
     h = h.at[graph.edge_i, graph.edge_i].add(hii)
@@ -282,17 +288,17 @@ def gauss_newton_step_cg(graph: PoseGraph, damping=1e-6, fix_first=True,
         ei = graph.edge_i[edge_sl]
         ej = graph.edge_j[edge_sl]
         chi2 = psum(jnp.sum(
-            jnp.einsum("ei,eij,ej->e", r, info, r)
+            _einsum("ei,eij,ej->e", r, info, r)
         ))
 
         # b = J^T W r
-        bi = jnp.einsum("eki,ekl,el->ei", ji, info, r)
-        bj = jnp.einsum("eki,ekl,el->ei", jj, info, r)
+        bi = _einsum("eki,ekl,el->ei", ji, info, r)
+        bj = _einsum("eki,ekl,el->ei", jj, info, r)
         b = psum(_scatter_nodes(m, d, ei, ej, bi, bj, r.dtype))
 
         # block-diagonal of H for the preconditioner
-        hii = jnp.einsum("eki,ekl,elj->eij", ji, info, ji)
-        hjj = jnp.einsum("eki,ekl,elj->eij", jj, info, jj)
+        hii = _einsum("eki,ekl,elj->eij", ji, info, ji)
+        hjj = _einsum("eki,ekl,elj->eij", jj, info, jj)
         diag = jnp.zeros((m, d, d), r.dtype)
         diag = diag.at[ei].add(hii)
         diag = diag.at[ej].add(hjj)
@@ -305,17 +311,17 @@ def gauss_newton_step_cg(graph: PoseGraph, damping=1e-6, fix_first=True,
             xi = x[ei]
             xj = x[ej]
             # y_e = W (Ji xi + Jj xj); scatter Ji^T y, Jj^T y
-            ye = jnp.einsum(
+            ye = _einsum(
                 "ekl,el->ek", info,
-                jnp.einsum("ekj,ej->ek", ji, xi)
-                + jnp.einsum("ekj,ej->ek", jj, xj),
+                _einsum("ekj,ej->ek", ji, xi)
+                + _einsum("ekj,ej->ek", jj, xj),
             )
-            vi = jnp.einsum("eki,ek->ei", ji, ye)
-            vj = jnp.einsum("eki,ek->ei", jj, ye)
+            vi = _einsum("eki,ek->ei", ji, ye)
+            vj = _einsum("eki,ek->ei", jj, ye)
             out = psum(_scatter_nodes(m, d, ei, ej, vi, vj, x.dtype))
             return out + pin[:, None] * x
 
-        apply_pre = lambda v: jnp.einsum("mij,mj->mi", pre, v)
+        apply_pre = lambda v: _einsum("mij,mj->mi", pre, v)
 
         # PCG for H delta = -b
         x0 = jnp.zeros((m, d), r.dtype)
@@ -459,13 +465,13 @@ def gauss_newton_step_schur(graph: PoseGraph, segments=4,
 
     r, ji, jj, info = _edge_terms(graph)
     ei, ej = graph.edge_i, graph.edge_j
-    chi2 = jnp.sum(jnp.einsum("ei,eij,ej->e", r, info, r))
+    chi2 = jnp.sum(_einsum("ei,eij,ej->e", r, info, r))
 
-    hii = jnp.einsum("eki,ekl,elj->eij", ji, info, ji)
-    hij = jnp.einsum("eki,ekl,elj->eij", ji, info, jj)
-    hjj = jnp.einsum("eki,ekl,elj->eij", jj, info, jj)
-    bi = jnp.einsum("eki,ekl,el->ei", ji, info, r)
-    bj = jnp.einsum("eki,ekl,el->ei", jj, info, r)
+    hii = _einsum("eki,ekl,elj->eij", ji, info, ji)
+    hij = _einsum("eki,ekl,elj->eij", ji, info, jj)
+    hjj = _einsum("eki,ekl,elj->eij", jj, info, jj)
+    bi = _einsum("eki,ekl,el->ei", ji, info, r)
+    bj = _einsum("eki,ekl,el->ei", jj, info, r)
 
     bnd_i, bnd_j = boundary[ei], boundary[ej]
     seg_i, seg_j = seg[ei], seg[ej]
@@ -557,7 +563,7 @@ def gauss_newton_step_schur(graph: PoseGraph, segments=4,
         rhs_b = b_bnd_d - jnp.sum(r_c, axis=0)
         delta_b = jax.scipy.linalg.solve(s_bb, -rhs_b, assume_a="pos")
         # back-substitute: delta_I = -w - Y delta_b  (H delta = -b)
-        delta_i = -w - jnp.einsum("sij,j->si", y, delta_b)
+        delta_i = -w - _einsum("sij,j->si", y, delta_b)
     else:
         from jax.sharding import PartitionSpec as P
 
@@ -575,7 +581,7 @@ def gauss_newton_step_schur(graph: PoseGraph, segments=4,
             delta_b = jax.scipy.linalg.solve(
                 s_bb, -rhs_b, assume_a="pos"
             )
-            delta_i = -w - jnp.einsum("sij,j->si", y, delta_b)
+            delta_i = -w - _einsum("sij,j->si", y, delta_b)
             return delta_i, delta_b[None]
 
         delta_i, delta_b = _shard_map(

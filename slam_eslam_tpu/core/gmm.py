@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from functools import partial as _partial
+
+# exact f32 statistics (TPU MXU default would bf16-round operands)
+_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 def fit_gmm(key, xy, weights, n_components=3, n_iters=25, min_var=1e-6):
@@ -44,7 +48,7 @@ def fit_gmm(key, xy, weights, n_components=3, n_iters=25, min_var=1e-6):
 
     mu = jnp.sum(xy * w[:, None], axis=0)
     d = xy - mu
-    glob_cov = jnp.einsum("n,ni,nj->ij", w, d, d) + jnp.eye(2) * min_var
+    glob_cov = _einsum("n,ni,nj->ij", w, d, d) + jnp.eye(2) * min_var
     covs0 = jnp.broadcast_to(
         glob_cov / (n_components**2), (n_components, 2, 2)
     )
@@ -55,7 +59,7 @@ def fit_gmm(key, xy, weights, n_components=3, n_iters=25, min_var=1e-6):
         inv = jnp.linalg.inv(cov)
         logdet = jnp.log(jnp.maximum(jnp.linalg.det(cov), 1e-30))
         return -0.5 * (
-            jnp.einsum("ni,ij,nj->n", diff, inv, diff)
+            _einsum("ni,ij,nj->n", diff, inv, diff)
             + logdet + 2.0 * jnp.log(2.0 * jnp.pi)
         )
 
@@ -73,9 +77,10 @@ def fit_gmm(key, xy, weights, n_components=3, n_iters=25, min_var=1e-6):
         nk = jnp.sum(resp, axis=1)                  # [K]
         safe_nk = jnp.maximum(nk, 1e-30)
         # M: update
-        means = (resp @ xy) / safe_nk[:, None]
+        means = jnp.dot(resp, xy,
+                        precision=jax.lax.Precision.HIGHEST) / safe_nk[:, None]
         diff = xy[None, :, :] - means[:, None, :]   # [K, N, 2]
-        covs = jnp.einsum("kn,kni,knj->kij", resp, diff, diff) / safe_nk[
+        covs = _einsum("kn,kni,knj->kij", resp, diff, diff) / safe_nk[
             :, None, None
         ] + jnp.eye(2) * min_var
         mix = nk / jnp.maximum(jnp.sum(nk), 1e-30)

@@ -126,7 +126,8 @@ class SurfaceHash:
             def per_angle(angle):
                 c, s = jnp.cos(angle), jnp.sin(angle)
                 rot = jnp.array([[c, -s], [s, c]], jnp.float32)
-                offs = opoints @ rot.T                      # [4, 2]
+                offs = jnp.dot(opoints, rot.T,              # [4, 2]
+                               precision=jax.lax.Precision.HIGHEST)
                 pts = centers[:, None, :] + offs[None]      # [C, 4, 2]
                 ix = jnp.floor(
                     (pts[..., 0] - grid.origin[0]) / grid.resolution

@@ -38,6 +38,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# Value-carrying contractions must not round f32 operands to bf16 on
+# the MXU (the TPU default): map CONTENT flows through these dots, and
+# the drift flips borderline slot-rule compares vs the exact Pallas
+# kernels (found by tests/test_tpu.py::TestCompiledMerge).
+_EXACT = jax.lax.Precision.HIGHEST
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -349,8 +355,8 @@ def _dedup_fuse_rows(lin, z, var, mask, sentinel, color=None):
     ).astype(z.dtype)                                          # [N, P, P]
 
     w = jnp.where(mask_s, 1.0 / jnp.maximum(var_s, 1e-12), 0.0)
-    wsum = jnp.einsum("nps,np->ns", onehot, w)
-    zsum = jnp.einsum("nps,np->ns", onehot, w * z_s)
+    wsum = jnp.einsum("nps,np->ns", onehot, w, precision=_EXACT)
+    zsum = jnp.einsum("nps,np->ns", onehot, w * z_s, precision=_EXACT)
     back = lambda a: jnp.take_along_axis(a, seg, axis=1)
     fused_z = back(zsum / jnp.maximum(wsum, 1e-30))
     fused_var = back(1.0 / jnp.maximum(wsum, 1e-30))
@@ -358,7 +364,8 @@ def _dedup_fuse_rows(lin, z, var, mask, sentinel, color=None):
     fused_color = None
     if color is not None:
         color_s = jnp.take_along_axis(color, order[..., None], axis=1)
-        csum = jnp.einsum("nps,npc->nsc", onehot, w[..., None] * color_s)
+        csum = jnp.einsum("nps,npc->nsc", onehot, w[..., None] * color_s,
+                          precision=_EXACT)
         fused_color = jnp.take_along_axis(
             csum / jnp.maximum(wsum, 1e-30)[..., None],
             seg[..., None], axis=1,
@@ -574,7 +581,7 @@ def match_cloud(grid: MLSGrid, cloud: PatchCloud, rot2d, trans, z_offset,
     sample_mask = (jnp.arange(p) % sampling) == 0
     m = cloud.valid & sample_mask
 
-    xy_g = cloud.xy @ rot2d.T + trans
+    xy_g = jnp.dot(cloud.xy, rot2d.T, precision=_EXACT) + trans
     z_g = cloud.z + z_offset
     pts = jnp.concatenate([xy_g, z_g[:, None]], axis=-1)
     found, mean, stdev, _ = get_patch(grid, pts, z_window)
@@ -596,7 +603,7 @@ def merge_cloud(grid: MLSGrid, cloud: PatchCloud, rot2d, trans, z_offset,
     particle's z estimate and their uncertainty widened by its zSigma
     before fusion.
     """
-    xy_g = cloud.xy @ rot2d.T + trans
+    xy_g = jnp.dot(cloud.xy, rot2d.T, precision=_EXACT) + trans
     z_g = cloud.z + z_offset
     stdev = jnp.sqrt(cloud.stdev**2 + offset_stdev**2)
     return merge_points(

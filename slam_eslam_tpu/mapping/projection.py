@@ -111,7 +111,8 @@ def project_points(
                + |(sigma_yaw x p_body)_z|^2      (sensor mount error)
                + |(sigma_pitchroll x p_world)_z|^2 (attitude error).
     """
-    p_body = points @ sensor2body_rot.T + sensor2body_trans
+    p_body = jnp.dot(points, sensor2body_rot.T,
+                     precision=jax.lax.Precision.HIGHEST) + sensor2body_trans
     q0 = geometry.remove_yaw(orientation)
     p_w = geometry.quat_rotate(q0[None, :], p_body)
 
@@ -142,7 +143,8 @@ def free_space_points(points, valid, sensor2body_rot, sensor2body_trans,
     itself is erased).  Returns ``(points [P*samples, 3], mask)`` in the
     same yaw-compensated body frame as ``project_points``.
     """
-    p_body = points @ sensor2body_rot.T + sensor2body_trans
+    p_body = jnp.dot(points, sensor2body_rot.T,
+                     precision=jax.lax.Precision.HIGHEST) + sensor2body_trans
     q0 = geometry.remove_yaw(orientation)
     p_w = geometry.quat_rotate(q0[None, :], p_body)
     origin = geometry.quat_rotate(q0, sensor2body_trans)

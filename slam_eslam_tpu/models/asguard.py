@@ -119,7 +119,8 @@ class AsguardSim:
                 [0, 0, 1],
             ]
         )
-        return pts @ r.T + self.position
+        return jnp.dot(pts, r.T,
+                       precision=jax.lax.Precision.HIGHEST) + self.position
 
     @property
     def orientation(self):

@@ -177,7 +177,9 @@ def evaluate_pose(
 
     active = state.valid & ~(state.contact < CONTACT_THRESHOLD)  # NaN -> active
 
-    world = (state.position @ rot.T + trans) - jnp.array(
+    world = (jnp.dot(state.position, rot.T,
+                     precision=jax.lax.Precision.HIGHEST)
+             + trans) - jnp.array(
         [0.0, 0.0, cfg.contact_point_radius], dtype=state.position.dtype
     )
     found, mean, stdev, color = map_lookup(world)
@@ -451,7 +453,8 @@ def evaluate_pose_batch(
             if with_debug_points else None
         )
     else:
-        world = jnp.einsum("nij,cj->nci", rot, state.position) + trans[
+        world = jnp.einsum("nij,cj->nci", rot, state.position,
+                           precision=jax.lax.Precision.HIGHEST) + trans[
             :, None, :
         ] - jnp.array([0.0, 0.0, cfg.contact_point_radius], dtype)
 
@@ -468,7 +471,9 @@ def evaluate_pose_batch(
     ratio_m = jnp.where(contrib, ratio, 0.0)
     miss = active[None, :] & ~found
 
-    seg_sum = lambda x: x @ onehot                             # [N, S]
+    # value-carrying one-hot reduction: must stay exact f32 on MXU
+    seg_sum = lambda x: jnp.dot(x, onehot,
+                                precision=jax.lax.Precision.HIGHEST)
     rsum = seg_sum(ratio_m)
     zdiff_sum = seg_sum(ratio_m * zdiff)
     zvar_sum = seg_sum(ratio_m * zvar)

@@ -44,8 +44,13 @@ def _group_min(x, k, lane):
     out = x
     n = x.shape[-1]
     for s in range(1, k):
-        fwd = pltpu.roll(x, shift=s, axis=1)        # lane l <- x[l+s]
-        bwd = pltpu.roll(x, shift=n - s, axis=1)    # lane l <- x[l-s]
+        # pltpu.roll has jnp.roll semantics: roll(x, s)[l] = x[l-s],
+        # so "lane l <- x[l+s]" needs shift n-s (this was swapped
+        # until round 3 — the group reductions mixed NEIGHBOURING
+        # cells' slots whenever a cell held existing patches; caught
+        # by tests/test_tpu.py::TestCompiledMerge on a half-full pool)
+        fwd = pltpu.roll(x, shift=n - s, axis=1)    # lane l <- x[l+s]
+        bwd = pltpu.roll(x, shift=s, axis=1)        # lane l <- x[l-s]
         out = jnp.minimum(out, jnp.where(lane + s < k, fwd, _BIG))
         out = jnp.minimum(out, jnp.where(lane - s >= 0, bwd, _BIG))
     return out
@@ -55,8 +60,8 @@ def _group_sum(x, k, lane):
     out = x
     n = x.shape[-1]
     for s in range(1, k):
-        fwd = pltpu.roll(x, shift=s, axis=1)
-        bwd = pltpu.roll(x, shift=n - s, axis=1)
+        fwd = pltpu.roll(x, shift=n - s, axis=1)    # lane l <- x[l+s]
+        bwd = pltpu.roll(x, shift=s, axis=1)        # lane l <- x[l-s]
         out = out + jnp.where(lane + s < k, fwd, 0.0)
         out = out + jnp.where(lane - s >= 0, bwd, 0.0)
     return out

@@ -178,4 +178,5 @@ def pose_matrix_2p5d(xy, yaw, z):
 
 def transform_points(rot, trans, points):
     """Apply (R, t) to points: [..., 3, 3], [..., 3], [..., P, 3] -> [..., P, 3]."""
-    return jnp.einsum("...ij,...pj->...pi", rot, points) + trans[..., None, :]
+    return jnp.einsum("...ij,...pj->...pi", rot, points,
+                      precision=jax.lax.Precision.HIGHEST) + trans[..., None, :]

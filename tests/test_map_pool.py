@@ -321,6 +321,56 @@ class TestFusedMergeMatch:
         out = f(pool, cloud)
         assert int(jnp.sum(out.valid)) > 0
 
+    def test_merge_parity_on_dense_random_pool(self):
+        """Kernel-vs-XLA parity on a HALF-FULL random pool (k=4).
+
+        Regression test for the round-3 `_group_min`/`_group_sum` roll
+        direction bug: `pltpu.roll(x, s)[l] = x[l-s]` (jnp.roll
+        semantics), and the swapped shifts mixed NEIGHBOURING cells'
+        slot metrics into each group — invisible on the sparse
+        insert-mostly fixtures above (empty neighbour groups carry the
+        same masked sentinel), catastrophic on dense pools where the
+        fuse/gap/evict rules read existing patches."""
+        n, b, nx, ny, k = 16, 20, 40, 40, 4
+        rng = np.random.default_rng(11)
+        shape = (b, nx, ny * k)
+        pool = mp.MapPool(
+            mean=jnp.asarray(rng.normal(size=shape).astype(np.float32)),
+            stdev=jnp.asarray(
+                (0.01 + 0.2 * rng.random(shape)).astype(np.float32)),
+            height=jnp.zeros(shape, jnp.float32),
+            meta=jnp.asarray(
+                ((rng.random(shape) < 0.5).astype(np.int32)) | 2),
+            color=None,
+            origin=jnp.asarray(
+                (rng.normal(size=(b, 2)) * 2).astype(np.float32)),
+            allocated=jnp.ones((b,), bool),
+            chain=jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[:, None], (n, 3)),
+            resolution=0.25,
+            nx=nx, ny=ny, k=k,
+        )
+        p = 96
+        xy = rng.uniform(0.0, 10.0, size=(p, 2)).astype(np.float32)
+        xy += np.asarray(pool.origin[0])
+        cloud = PatchCloud.create(
+            xy=jnp.asarray(xy),
+            z=jnp.asarray(rng.normal(size=(p,)).astype(np.float32)),
+            stdev=jnp.full((p,), 0.05),
+            valid=jnp.ones((p,), bool),
+        )
+        args = (pool, jnp.zeros((n, 2)), jnp.zeros(n), jnp.zeros(n),
+                jnp.full((n,), 0.01), cloud, 7)
+        px = mp.merge_cloud_all(*args, kernel="xla")
+        pk = mp.merge_cloud_all(*args, kernel="pallas")
+        np.testing.assert_array_equal(
+            np.asarray(px.meta), np.asarray(pk.meta))
+        v = np.asarray((px.meta & 1) != 0)
+        for fld in ("mean", "stdev", "height"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(pk, fld))[v],
+                np.asarray(getattr(px, fld))[v], rtol=1e-5, atol=1e-6)
+
 
 class TestNegativeInformation:
     """Laser-path negative information on per-particle active grids
