@@ -119,8 +119,7 @@ class AsguardSim:
                 [0, 0, 1],
             ]
         )
-        return jnp.dot(pts, r.T,
-                       precision=jax.lax.Precision.HIGHEST) + self.position
+        return pts @ r.T + self.position
 
     @property
     def orientation(self):
