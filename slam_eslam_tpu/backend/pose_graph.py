@@ -34,8 +34,7 @@ import jax.numpy as jnp
 # solver-grade contractions: the TPU MXU default rounds f32
 # operands to bf16, which degrades GN/PCG convergence — pin exact
 # multi-pass f32 (the per-edge einsums are tiny; cost is negligible)
-from functools import partial as _partial
-_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+_einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 def wrap_angle(a):

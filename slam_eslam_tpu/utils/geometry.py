@@ -13,6 +13,7 @@ to ``jit`` / ``vmap``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
