@@ -158,6 +158,16 @@ class Config:
     # (64 sits at the +-4.5 sigma extreme -> the auto fallback fires
     # most steps); x = 128 halves fallback triggers at no cost.
     lookup_window: tuple = (128, 96)
+    # adaptive window tiers for the auto fold lookup: smaller windows
+    # tried (smallest first) before ``lookup_window``, chosen on device
+    # from the query cloud's bounding box (same spread test as the
+    # gather fallback).  The fold kernel's stage-1 one-hot matmul costs
+    # ~wy*2K*wx MACs per particle, so a converged tracking cloud
+    # (~16-20 cells incl. contact offsets) running in a (128, 32) tier
+    # does 3x less MXU work than (128, 96); spread steps (init,
+    # post-relocalisation) fall through to the bigger window and then
+    # the exact gather.  () disables tiering (single-window behaviour).
+    lookup_tiers: tuple = ((128, 32),)
     # number of patch slots per MLS cell (fixed-shape patch lists)
     mls_patches_per_cell: int = 4
     # z search window (m) for MLSMap::getPatch (reference passes 3.0,

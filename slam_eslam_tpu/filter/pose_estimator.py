@@ -304,14 +304,21 @@ def update(
             return resampler(k_rs, weight, p_norm)
         idx = pf.resample_stratified(k_rs, weight, p.n)
         # packed single-gather copy (10 [N] gathers -> one [N,10] row
-        # gather; exact — see core.filter.take_packed)
+        # gather; exact — see core.filter.take_packed).  Ancestor
+        # indices come from the two-level wide search
+        # (core.filter._resample_from_positions) — the searchsorted
+        # binary-search lowering cost ~0.66 ms/firing at 100k on a
+        # v5e vs ~0.52 for the wide search (tools/profile_resample.py)
         return pf.take_packed(p_norm, idx), idx
 
     def skip(p_norm):
         return p_norm, jnp.arange(p.n, dtype=jnp.int32)
 
-    # lax.cond: the searchsorted + 12-field particle gather only runs
-    # on the (rare) resampling steps
+    # lax.cond: the wide search + packed particle gather only run on
+    # the (~1/3 of) resampling steps; the measured alternatives —
+    # unconditional gather with an idx-only cond, or no cond at all —
+    # both lose to the 0.136 ms skip-side boundary copy
+    # (tools/profile_resample.py, round 4)
     particles, idx = jax.lax.cond(do_resample, resample, skip, p_norm)
 
     state = dataclasses.replace(state, particles=particles, key=key)

@@ -74,5 +74,6 @@ def make_lookup(cfg, grid, mesh=None, **kernel_kw):
 
     return windowed_grid_lookup(
         grid, z_window=cfg.mls_z_window, window=cfg.lookup_window,
-        mesh=mesh, fallback=(mode == "auto"), **kernel_kw,
+        mesh=mesh, fallback=(mode == "auto"),
+        tiers=(cfg.lookup_tiers if mode == "auto" else ()), **kernel_kw,
     )

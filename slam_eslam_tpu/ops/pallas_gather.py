@@ -1014,7 +1014,8 @@ def _auto_kernel_defaults(interpret, mxu_dtype):
 def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
                          interpret=None, mxu_dtype=None,
                          fused=True, stage1="onehot", stage2="matmul",
-                         mesh=None, layout="q_lanes", fallback=False):
+                         mesh=None, layout="q_lanes", fallback=False,
+                         tiers=()):
     """Lookup factory for the pose estimator (shared-map mode) using the
     Pallas window kernel.  ``map_id`` is ignored.
 
@@ -1124,44 +1125,55 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
         """Contact-fold lookup on one shard: window kernel with the
         in-VMEM contact epilogue, spread-fallback to the exact gather +
         ``contact_fold_sums`` (same math, same ``[8, N]`` output).
-        All query operands are contact-grid ``[C, N]``."""
+        All query operands are contact-grid ``[C, N]``.
 
-        def kernel_branch(ix, iy, zz, act, mv):
-            ixc = jnp.clip(ix, 0, nx - 1)
-            iyc = jnp.clip(iy, 0, ny - 1)
-            cx = jnp.clip(
-                jnp.mean(ixc).astype(jnp.int32) - wx // 2,
-                0, max(nx - wx, 0),
-            )
-            cy = jnp.clip(
-                jnp.mean(iyc).astype(jnp.int32) - wy // 2,
-                0, max(ny - wy, 0),
-            )
-            c = 2 * packed.k
-            if packed.data_t is not None:
-                table = None
-                table_t = jax.lax.dynamic_slice(
-                    packed.data_t, (cy, 0, cx), (wy, c, wx)
-                ).reshape(wy * c, wx)
-                tshape = (wx, wy, c)
-            else:
-                table = jax.lax.dynamic_slice(
-                    packed.data, (cx, cy, 0), (wx, wy, c)
+        With ``tiers`` set (production ``lookup_mode='auto'``), the
+        query cloud's bounding box picks the SMALLEST window it fits,
+        nested smallest-first before the full-window kernel and the
+        exact gather: the fold kernel's stage-1 one-hot matmul does
+        ~twy*2K*twx MACs per particle, so a converged tracking cloud
+        running in a (128, 32) tier is ~3x cheaper on the MXU than the
+        robust (128, 96) default."""
+
+        def make_kernel_branch(twx, twy):
+            def kernel_branch(ix, iy, zz, act, mv):
+                ixc = jnp.clip(ix, 0, nx - 1)
+                iyc = jnp.clip(iy, 0, ny - 1)
+                cx = jnp.clip(
+                    jnp.mean(ixc).astype(jnp.int32) - twx // 2,
+                    0, max(nx - twx, 0),
                 )
-                table_t, tshape = None, None
-            lx = ix - cx
-            ly = iy - cy
-            inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
-            inw = (inb & (lx >= 0) & (lx < wx)
-                   & (ly >= 0) & (ly < wy))
-            av = act * inw.astype(jnp.float32)
-            return window_select_contact(
-                table, jnp.clip(lx, 0, wx - 1),
-                jnp.clip(ly, 0, wy - 1), zz, av, mv, act, onehot,
-                correction=correction,
-                z_window=z_window, tile=tile, interpret=interpret,
-                mxu_dtype=mxu_dtype, table_t=table_t, shape=tshape,
-            )
+                cy = jnp.clip(
+                    jnp.mean(iyc).astype(jnp.int32) - twy // 2,
+                    0, max(ny - twy, 0),
+                )
+                c = 2 * packed.k
+                if packed.data_t is not None:
+                    table = None
+                    table_t = jax.lax.dynamic_slice(
+                        packed.data_t, (cy, 0, cx), (twy, c, twx)
+                    ).reshape(twy * c, twx)
+                    tshape = (twx, twy, c)
+                else:
+                    table = jax.lax.dynamic_slice(
+                        packed.data, (cx, cy, 0), (twx, twy, c)
+                    )
+                    table_t, tshape = None, None
+                lx = ix - cx
+                ly = iy - cy
+                inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+                inw = (inb & (lx >= 0) & (lx < twx)
+                       & (ly >= 0) & (ly < twy))
+                av = act * inw.astype(jnp.float32)
+                return window_select_contact(
+                    table, jnp.clip(lx, 0, twx - 1),
+                    jnp.clip(ly, 0, twy - 1), zz, av, mv, act, onehot,
+                    correction=correction,
+                    z_window=z_window, tile=tile, interpret=interpret,
+                    mxu_dtype=mxu_dtype, table_t=table_t, shape=tshape,
+                )
+
+            return kernel_branch
 
         def gather_branch(ix, iy, zz, act, mv):
             f, m, sd = mls_grid.get_patch_packed_cells(
@@ -1176,16 +1188,27 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
             )
 
         if not fallback:
-            return kernel_branch(ix, iy, z, act_col, mv)
+            return make_kernel_branch(wx, wy)(ix, iy, z, act_col, mv)
         ixc = jnp.clip(ix, 0, nx - 1)
         iyc = jnp.clip(iy, 0, ny - 1)
-        fits = (
-            (jnp.max(ixc) - jnp.min(ixc) < wx)
-            & (jnp.max(iyc) - jnp.min(iyc) < wy)
-        )
-        out = jax.lax.cond(
-            fits, kernel_branch, gather_branch, ix, iy, z, act_col, mv
-        )
+        sx = jnp.max(ixc) - jnp.min(ixc)
+        sy = jnp.max(iyc) - jnp.min(iyc)
+        # windows smallest-first; each strictly-smaller tier nests
+        # outside the next (the cheapest fitting kernel wins)
+        windows = sorted(
+            {(min(twx, nx), min(twy, ny)) for (twx, twy) in tiers
+             if min(twx, nx) * min(twy, ny) < wx * wy},
+            key=lambda w: w[0] * w[1],
+        ) + [(wx, wy)]
+        fn = gather_branch
+        for (twx, twy) in reversed(windows):
+            def fn(i, j, zz, a, m, _twx=twx, _twy=twy, _inner=fn):
+                return jax.lax.cond(
+                    (sx < _twx) & (sy < _twy),
+                    make_kernel_branch(_twx, _twy), _inner,
+                    i, j, zz, a, m,
+                )
+        out = fn(ix, iy, z, act_col, mv)
         return jax.lax.optimization_barrier(out)
 
     def fold(queries, act_col, mv, *, onehot, correction):
