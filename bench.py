@@ -312,9 +312,13 @@ def bench_slam(args):
     )
     f = EmbodiedSlamFilter(config=cfg)
     sim = AsguardSim(terrain=terrain)
+    # the carry's odometry state is sized for the FULL contact set: the
+    # odometry chain is precomputed from uncompacted states (compaction
+    # breaks its across-frame slot correspondence — round-4 find; the
+    # measurement update still consumes the compacted frames)
     f.init(pose=(np.array([0.0, 0.0, sim.position[2]]), 0.0),
            use_shared_map=False,
-           num_contact_points=args.contact_cap or 20)
+           num_contact_points=20)
     q = np.array([1.0, 0, 0, 0], np.float32)
 
     n_rays = 64
@@ -327,9 +331,11 @@ def bench_slam(args):
     steps = args.steps if args.steps != 10 else 20
     # pre-generate the frame stream (scan on each step's last substep)
     frame_list = []
+    full_cs = []
 
     def cb(s):
         cs = s.contact_state()
+        full_cs.append(cs)
         if args.contact_cap:
             cs = cs.compact(args.contact_cap)
         frame_list.append([
@@ -344,9 +350,17 @@ def bench_slam(args):
         frame_list[-1][5] = jnp.asarray(True)
     stacked = streaming.stack_frames([tuple(fr) for fr in frame_list])
     frames = len(frame_list)
+    # odometry from the FULL contact stream (slot correspondence)
+    qs_stack = jnp.stack([jnp.asarray(q)] * frames)
+    odos = streaming.precompute_odometry(
+        20,
+        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *full_cs),
+        qs_stack, cfg=cfg,
+    )
 
     run = streaming.make_slam_scan_runner(cfg, laser2body=lb,
-                                          donate=args.donate)
+                                          donate=args.donate,
+                                          external_odometry=True)
 
     carry = streaming.StreamingState.create(f.state, f.pool)
     if args.donate:
@@ -358,7 +372,7 @@ def bench_slam(args):
         f.state = f.pool = None
 
     t0 = time.time()
-    carry, aux = run(carry, stacked)
+    carry, aux = run(carry, stacked, odos)
     jax.block_until_ready(aux["centroid"])
     compile_s = time.time() - t0
 
@@ -368,7 +382,7 @@ def bench_slam(args):
             carry = streaming.StreamingState.create(f.state, f.pool)
             jax.block_until_ready(carry.pool.mean)
         t0 = time.time()
-        carry, aux = run(carry, stacked)
+        carry, aux = run(carry, stacked, odos)
         jax.block_until_ready(aux["centroid"])
         dt = min(dt, time.time() - t0)
 

@@ -162,12 +162,15 @@ class Config:
     # tried (smallest first) before ``lookup_window``, chosen on device
     # from the query cloud's bounding box (same spread test as the
     # gather fallback).  The fold kernel's stage-1 one-hot matmul costs
-    # ~wy*2K*wx MACs per particle, so a converged tracking cloud
-    # (~16-20 cells incl. contact offsets) running in a (128, 32) tier
-    # does 3x less MXU work than (128, 96); spread steps (init,
-    # post-relocalisation) fall through to the bigger window and then
-    # the exact gather.  () disables tiering (single-window behaviour).
-    lookup_tiers: tuple = ((128, 32),)
+    # ~wy*2K*wx MACs per particle, so each tier is a proportional MXU
+    # saving when it fits.  Sizing measured on the bench trajectory
+    # (tools/probe_spread.py, 100k particles): the steady-state query
+    # cloud is ~45x57 cells -> (128, 64) fits 84% of steps (1.5x less
+    # MXU work); (128, 32) covers converged-localisation clouds
+    # (~16-20 cells).  Spread steps (init, post-relocalisation) fall
+    # through to ``lookup_window`` and then the exact gather.
+    # () disables tiering (single-window behaviour).
+    lookup_tiers: tuple = ((128, 32), (128, 64))
     # number of patch slots per MLS cell (fixed-shape patch lists)
     mls_patches_per_cell: int = 4
     # z search window (m) for MLSMap::getPatch (reference passes 3.0,

@@ -123,6 +123,16 @@ class BodyContactState:
         by dropping inactive ones first; if actives alone exceed
         ``cap``, the tail actives are dropped (choose ``cap`` >= the
         worst-case active count to avoid this).
+
+        MEASUREMENT-ONLY: the stance-foot odometry
+        (``models.odometry.update``) differences contact points BY SLOT
+        across frames; when the active set changes between frames (a
+        rolling wheel hands contact to the next foot), per-frame
+        compaction re-selects the slots and silently mispairs feet —
+        the integrated odometry then reads ~zero motion.  Feed the
+        odometry the FULL contact stream (e.g.
+        ``filter.streaming.precompute_odometry``) and compact only the
+        measurement frames.
         """
         import numpy as np
 

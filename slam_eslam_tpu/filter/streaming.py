@@ -91,7 +91,8 @@ def _quat_angle(qa, qb):
 def make_slam_step(cfg: Config, laser2body=None, hash_=None,
                    match=None, update=True, mesh=None,
                    camera2body=None, camera_intrinsics=None,
-                   camera_texture=False, odometry_config=None):
+                   camera_texture=False, odometry_config=None,
+                   external_odometry=False):
     """Build the fused per-frame SLAM step.
 
     ``step(carry: StreamingState, frame) -> (StreamingState, aux)`` with
@@ -171,6 +172,16 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
         return st, shd.constrain_pool(pool, mesh)
 
     def step(carry: StreamingState, frame):
+        odo_state = None
+        if external_odometry:
+            # the frame's contact state may be COMPACTED to the active
+            # candidate set for the measurement update; the stance-foot
+            # odometry differences contact points BY SLOT across frames
+            # (odometry.update), which per-frame compaction breaks (the
+            # selected subset changes) — so the odometry state arrives
+            # precomputed from the FULL contact stream
+            # (``precompute_odometry``) instead of updating in-scan
+            frame, odo_state = frame
         timg = None
         if camera2body is not None and camera_texture:
             (cs, q, body_pos, ranges, scan_meta, has_scan,
@@ -185,7 +196,9 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
         # ---- proprioceptive path (EmbodiedSlamFilter.cpp:353-369) ----
         st = carry.filter
         st = dataclasses.replace(
-            st, odometry=odom.update(st.odometry, cs, q, odo_cfg)
+            st,
+            odometry=(odo_state if external_odometry
+                      else odom.update(st.odometry, cs, q, odo_cfg)),
         )
         st = pe.project(st, q, cfg, use_hash=hash_ is not None)
 
@@ -377,7 +390,7 @@ def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
                           match=None, update=True, mesh=None,
                           camera2body=None, camera_intrinsics=None,
                           camera_texture=False, donate=False,
-                          odometry_config=None):
+                          odometry_config=None, external_odometry=False):
     """Roll a whole frame stream through the fused SLAM step on device.
 
     ``run(carry, frames) -> (carry, aux)`` — ``frames`` is the per-frame
@@ -387,19 +400,62 @@ def make_slam_scan_runner(cfg: Config, laser2body=None, hash_=None,
     ``donate=True`` donates the carry (filter + map pool) to the call —
     halves peak HBM for large pools (the input pool buffer is reused
     for the output) at the cost of invalidating the passed-in carry.
+
+    ``external_odometry=True``: ``run(carry, frames, odos)`` with
+    ``odos`` the stacked per-frame odometry states from
+    ``precompute_odometry`` — REQUIRED whenever the frames' contact
+    states are compacted (``BodyContactState.compact``), because the
+    stance-foot odometry differences contact points by slot across
+    frames and compaction re-selects the slots every frame.
     """
     step = make_slam_step(cfg, laser2body=laser2body, hash_=hash_,
                           match=match, update=update, mesh=mesh,
                           camera2body=camera2body,
                           camera_intrinsics=camera_intrinsics,
                           camera_texture=camera_texture,
-                          odometry_config=odometry_config)
+                          odometry_config=odometry_config,
+                          external_odometry=external_odometry)
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def run(carry: StreamingState, frames):
-        return jax.lax.scan(step, carry, frames)
+    if external_odometry:
+        @partial(jax.jit, donate_argnums=(0,) if donate else ())
+        def run(carry: StreamingState, frames, odos):
+            return jax.lax.scan(step, carry, (frames, odos))
+    else:
+        @partial(jax.jit, donate_argnums=(0,) if donate else ())
+        def run(carry: StreamingState, frames):
+            return jax.lax.scan(step, carry, frames)
 
     return run
+
+
+def precompute_odometry(num_points, contact_states, orientations,
+                        odo_cfg=None, cfg: Config = None):
+    """Per-frame odometry states from the FULL (uncompacted) contact
+    stream: one ``lax.scan`` of ``odometry.update`` over the
+    trajectory.  The odometry chain is particle-independent, so it can
+    be hoisted out of the per-particle SLAM scan and its result fed to
+    ``make_slam_scan_runner(external_odometry=True)`` while the frames
+    carry measurement-compacted contact states.
+
+    ``contact_states``: stacked ``BodyContactState`` with leading time
+    axis (C = ``num_points``, uncompacted); ``orientations [T, 4]``.
+    Returns the stacked ``FootContactOdometry`` pytree ([T, ...]).
+    """
+    if odo_cfg is None:
+        odo_cfg = cfg_odo(cfg) if cfg is not None else cfg_odo(Config())
+
+    @jax.jit
+    def run(cs, qs):
+        def body(odo, inp):
+            c, q = inp
+            new = odom.update(odo, c, q, odo_cfg)
+            return new, new
+
+        odo0 = odom.FootContactOdometry.create(num_points)
+        _, states = jax.lax.scan(body, odo0, (cs, qs))
+        return states
+
+    return run(contact_states, orientations)
 
 
 def stack_frames(frames):

@@ -122,6 +122,78 @@ class TestStreamingSlam:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_compacted_external_odometry_matches_full(self):
+        """Measurement-compacted frames + precomputed odometry must
+        reproduce the uncompacted in-scan run: compaction is
+        semantics-preserving for the measurement (cap >= active count)
+        but breaks the stance-foot odometry's across-frame slot
+        correspondence — the round-4 harness bug where a compacted
+        AsguardSim drive integrated ~zero motion.  The external-
+        odometry path (``precompute_odometry`` from the full stream)
+        restores exact behaviour."""
+        cfg = _cfg()
+        lb = (np.eye(3), np.zeros(3))
+        sim = AsguardSim(terrain=terrain)
+        q = np.array([1.0, 0, 0, 0], np.float32)
+        frames_full, frames_cmp, full_cs = [], [], []
+
+        def cb(s):
+            cs = s.contact_state()
+            full_cs.append(cs)
+            base = [jnp.asarray(q),
+                    jnp.asarray(s.position, jnp.float32),
+                    jnp.full((N_RAYS,), 2.0, jnp.float32),
+                    SCAN_META, jnp.asarray(False)]
+            frames_full.append([cs] + [jnp.asarray(x) for x in base])
+            frames_cmp.append([cs.compact(8)]
+                              + [jnp.asarray(x) for x in base])
+
+        for _ in range(5):
+            sim.step(wheel_delta=0.3, on_substep=cb)
+            frames_full[-1][5] = jnp.asarray(True)
+            frames_cmp[-1][5] = jnp.asarray(True)
+
+        def fresh_carry():
+            f = EmbodiedSlamFilter(config=cfg)
+            s2 = AsguardSim(terrain=terrain)
+            f.init(pose=(np.array([0.0, 0.0, s2.position[2]]), 0.0),
+                   use_shared_map=False, num_contact_points=20)
+            return streaming.StreamingState.create(f.state, f.pool)
+
+        run_full = streaming.make_slam_scan_runner(cfg, laser2body=lb)
+        c_full, _ = run_full(
+            fresh_carry(),
+            streaming.stack_frames([tuple(fr) for fr in frames_full]),
+        )
+
+        odos = streaming.precompute_odometry(
+            20,
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *full_cs),
+            jnp.stack([jnp.asarray(q)] * len(frames_cmp)), cfg=cfg,
+        )
+        run_cmp = streaming.make_slam_scan_runner(
+            cfg, laser2body=lb, external_odometry=True)
+        c_cmp, _ = run_cmp(
+            fresh_carry(),
+            streaming.stack_frames([tuple(fr) for fr in frames_cmp]),
+            odos,
+        )
+
+        # the drive must actually MOVE (the compacted-odometry bug read
+        # ~zero motion over the whole trajectory)
+        assert float(np.linalg.norm(
+            np.asarray(c_full.filter.particles.xy).mean(0))) > 0.05
+        np.testing.assert_allclose(
+            np.asarray(c_cmp.filter.particles.xy),
+            np.asarray(c_full.filter.particles.xy),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_cmp.filter.particles.weight),
+            np.asarray(c_full.filter.particles.weight),
+            rtol=1e-4, atol=1e-8,
+        )
+
     def test_camera_matches_host_driver(self):
         """Mixed laser + distance-image frames: the fused camera branch
         (gating, projection, always-merge semantics,
