@@ -105,8 +105,11 @@ def main():
     )
     ap.add_argument(
         "--pool-blocks", type=int, default=0, dest="pool_blocks",
-        help="(slam mode) map-pool block capacity (0 = particles+64; "
-        "rollover-heavy runs want ~particles*chain_len)",
+        help="(slam mode) map-pool block capacity (0 = 4x particles: "
+        "a MOVING robot rolls blocks over and pins ~chain_len "
+        "live blocks per particle plus COW copies; the old n+64 "
+        "default only sufficed because the pre-round-4 harness fed "
+        "the odometry compacted states and the robot never moved)",
     )
     ap.add_argument(
         "--min-effective", type=int, default=-1, dest="min_effective",
@@ -299,7 +302,7 @@ def bench_slam(args):
         min_effective=n // 2,
         grid_size=args.grid_size,
         grid_resolution=args.grid_res,
-        map_pool_blocks=args.pool_blocks or n + 64,
+        map_pool_blocks=args.pool_blocks or 4 * n,
         map_chain_length=args.chain_len,
         map_pool_color=False,  # perf config: no slip/texture fusion
         map_pool_dtype=args.pool_dtype,

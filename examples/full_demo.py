@@ -32,12 +32,22 @@ import numpy as np
 
 
 _rng_rocks = np.random.default_rng(7)
-_ROCKS = np.stack([
-    _rng_rocks.uniform(-6, 6, 60),          # x
-    _rng_rocks.uniform(-6, 6, 60),          # y
-    _rng_rocks.uniform(0.10, 0.30, 60),     # height
-    _rng_rocks.uniform(0.25, 0.45, 60),     # radius
-], axis=1)
+_ROCK_EXTENT = [6.0]
+
+
+def _make_rocks(extent):
+    # rock density thins with extent (raycast cost is linear in rock
+    # count); the route still passes plenty of local relief
+    count = int(60 * max(1.0, extent / 6.0))
+    return np.stack([
+        _rng_rocks.uniform(-extent, extent, count),   # x
+        _rng_rocks.uniform(-extent, extent, count),   # y
+        _rng_rocks.uniform(0.10, 0.30, count),        # height
+        _rng_rocks.uniform(0.25, 0.45, count),        # radius
+    ], axis=1)
+
+
+_ROCKS = _make_rocks(_ROCK_EXTENT[0])
 
 
 def terrain(x, y):
@@ -89,7 +99,27 @@ def main():
                     "wide — faithful reference behaviour, but it costs "
                     "tracking accuracy on this figure-8-free route)")
     ap.add_argument("--no-camera", action="store_true")
+    ap.add_argument("--wheel-delta", type=float, default=0.32,
+                    dest="wheel_delta",
+                    help="wheel advance per step (rad); larger = longer "
+                    "route per step (stretch runs)")
+    ap.add_argument("--extent", type=float, default=6.0,
+                    help="rock-field half-extent in metres; raise to "
+                    "cover a longer route with loop-closure-friendly "
+                    "relief (stretch: ~half the route length)")
+    ap.add_argument("--pool-dtype", choices=["float32", "bfloat16"],
+                    default="float32", dest="pool_dtype")
+    ap.add_argument("--pool-blocks", type=int, default=0,
+                    dest="pool_blocks",
+                    help="map-pool capacity (0 = particles+32; moving "
+                    "routes with rollover want ~2-3x particles)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the scan carry (halves peak pool HBM)")
     args = ap.parse_args()
+    if args.extent != 6.0:
+        _ROCK_EXTENT[0] = args.extent
+        global _ROCKS
+        _ROCKS = _make_rocks(args.extent)
 
     from slam_eslam_tpu.utils.cache import enable_persistent_cache
 
@@ -193,11 +223,12 @@ def main():
             turning = leg <= k < leg + turn_steps
             yr = np.pi / turn_steps if turning else 0.0
             subs = []
-            sim.step(wheel_delta=0.32, yaw_rate=yr,
+            sim.step(wheel_delta=args.wheel_delta, yaw_rate=yr,
                      on_substep=lambda s: subs.append(None) or record(
                          s,
                          scan=(len(subs) == 10),
-                         camera=(len(subs) == 5 and k % 2 == 0),
+                         camera=(not args.no_camera
+                                 and len(subs) == 5 and k % 2 == 0),
                      ))
     n_frames = t_count[0]
     print(f"recorded {n_frames} frames ({args.steps} scans) -> {path} "
@@ -209,9 +240,12 @@ def main():
         particle_count=args.particles,
         min_effective=args.particles // 2,
         grid_size=10.0, grid_resolution=0.25,
-        map_pool_blocks=args.particles + 32,
+        map_pool_blocks=args.pool_blocks or args.particles + 32,
         map_chain_length=3,
-        map_pool_color=True,      # textures ride the patches
+        map_pool_dtype=args.pool_dtype,
+        # textures ride the patches (camera path); camera-free stretch
+        # runs drop colour for 1.5x less pool memory/merge traffic
+        map_pool_color=not args.no_camera,
         mapping_camera_threshold=dataclasses.replace(
             Config().mapping_camera_threshold, distance=0.6,
         ),
@@ -260,10 +294,13 @@ def main():
             SurfaceHashConfig(use_hash=True, period=20), hash_grid
         )
 
-    frames, ts, intr = streaming.frames_from_log(
-        path, camera=True, texture=True
-    )
-    assert np.allclose(intr, (sx, sy, cx0, cy0), atol=1e-6)
+    if args.no_camera:
+        frames, ts = streaming.frames_from_log(path)
+    else:
+        frames, ts, intr = streaming.frames_from_log(
+            path, camera=True, texture=True
+        )
+        assert np.allclose(intr, (sx, sy, cx0, cy0), atol=1e-6)
 
     import time
 
@@ -321,6 +358,24 @@ def main():
     print(f"  mean xy error before backend {kf_err(before):.3f} m "
           f"-> after {kf_err(after):.3f} m "
           f"(chi2 {float(hist[0]):.2f} -> {float(hist[-1]):.2f})")
+
+    import json
+
+    print(json.dumps({
+        "metric": "full_demo_composition",
+        "particles": args.particles,
+        "frames": used,
+        "route_m": round(float(tpath), 1),
+        "fps_incl_host": round(used / wall, 1),
+        "ate_xy_mean_m": round(float(xy_err.mean()), 3),
+        "ate_xy_final10_m": round(float(xy_err[-n10:].mean()), 3),
+        "ate_z_mean_m": round(float(z_err.mean()), 3),
+        "keyframes": int(len(kf_frames)),
+        "closures": int(len(slam.keyframes.closures)),
+        "kf_xy_before_m": round(float(kf_err(before)), 3),
+        "kf_xy_after_m": round(float(kf_err(after)), 3),
+        "pool_dtype": args.pool_dtype,
+    }))
 
     # snapshots
     try:

@@ -44,10 +44,23 @@ def run_dtype(dtype, args, jax, jnp):
 
     n = args.particles
 
+    # rolling base + rock field: distinctive local relief gives the
+    # contact model xy observability (smooth sinusoids are self-similar
+    # at the robot's scale and the track drifts along-route)
+    rng_rocks = np.random.default_rng(7)
+    rocks = np.stack([
+        rng_rocks.uniform(-6, 6, 80), rng_rocks.uniform(-6, 6, 80),
+        rng_rocks.uniform(0.10, 0.30, 80),
+        rng_rocks.uniform(0.25, 0.45, 80),
+    ], axis=1)
+
     def terrain(x, y):
-        return 0.15 * np.sin(0.7 * np.asarray(x)) + 0.12 * np.cos(
-            0.5 * np.asarray(y)
-        )
+        x, y = np.asarray(x, float), np.asarray(y, float)
+        base = (0.15 * np.sin(0.7 * x) + 0.12 * np.cos(0.5 * y))
+        d2 = ((x[..., None] - rocks[:, 0]) ** 2
+              + (y[..., None] - rocks[:, 1]) ** 2)
+        r = (rocks[:, 2] * np.exp(-d2 / (2 * rocks[:, 3] ** 2))).sum(-1)
+        return base + r
 
     cfg = dataclasses.replace(
         Config(),

@@ -27,6 +27,15 @@ def main():
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", default=None)
+    ap.add_argument(
+        "--fixed-total", type=int, default=0, dest="fixed_total",
+        help="hold the TOTAL particle count fixed and vary the shard "
+        "count instead of weak scaling.  On a virtual CPU mesh this is "
+        "the honest proxy: all shards share the host cores, so "
+        "weak-scaling efficiency just measures host saturation; with "
+        "fixed total work, t(K)/t(1) isolates the partitioning "
+        "overhead XLA adds (halo copies, collective stubs, reshards)",
+    )
     args = ap.parse_args()
 
     max_dev = max(args.devices)
@@ -57,7 +66,7 @@ def main():
             print(f"# skipping {k} devices (have {have})")
             continue
         mesh = shd.make_mesh(k)
-        n = args.per_device * k
+        n = args.fixed_total or args.per_device * k
         cfg, lookup, state, cs, q = g._build(n, nx=64, ny=64)
         state = shd.shard_state(state, mesh)
         fn = steplib.make_filter_step(cfg, lookup, mesh=mesh)
@@ -72,17 +81,23 @@ def main():
             best = min(best, time.perf_counter() - t0)
         if t1 is None:
             t1 = best
-        eff = t1 / best
-        results[k] = {"n": n, "sec": best, "weak_scaling_eff": eff}
+        results[k] = {"n": n, "sec": best}
+        if args.fixed_total:
+            results[k]["partitioning_overhead"] = best / t1
+            label = f"overhead={best / t1:.2f}x"
+        else:
+            results[k]["weak_scaling_eff"] = t1 / best
+            label = f"eff={t1 / best:.2f}"
         if jax.devices()[0].platform == "cpu":
             # virtual devices share host cores: efficiency here only
             # validates the sharded path, not real scaling
             results[k]["note"] = "virtual-cpu-mesh"
         print(
             f"devices={k:2d}  particles={n:8d}  {best * 1e3:8.2f} ms "
-            f"eff={eff:.2f}"
+            + label
         )
-    print(json.dumps({"weak_scaling": results}))
+    key = "fixed_total_scaling" if args.fixed_total else "weak_scaling"
+    print(json.dumps({key: results}))
 
 
 if __name__ == "__main__":
