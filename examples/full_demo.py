@@ -115,6 +115,17 @@ def main():
                     "routes with rollover want ~2-3x particles)")
     ap.add_argument("--donate", action="store_true",
                     help="donate the scan carry (halves peak pool HBM)")
+    ap.add_argument("--grid-size", type=float, default=10.0,
+                    dest="grid_size",
+                    help="per-particle grid extent (m); 8.0 gives the "
+                    "128-lane block geometry")
+    ap.add_argument("--grid-res", type=float, default=0.25,
+                    dest="grid_res")
+    ap.add_argument("--keyframe-distance", type=float, default=0.3,
+                    dest="keyframe_distance",
+                    help="keyframe spacing (m); stretch routes want "
+                    "~1.5 to keep the closure search quadratic in a "
+                    "small keyframe count")
     args = ap.parse_args()
     if args.extent != 6.0:
         _ROCK_EXTENT[0] = args.extent
@@ -239,7 +250,7 @@ def main():
         Config(),
         particle_count=args.particles,
         min_effective=args.particles // 2,
-        grid_size=10.0, grid_resolution=0.25,
+        grid_size=args.grid_size, grid_resolution=args.grid_res,
         map_pool_blocks=args.pool_blocks or args.particles + 32,
         map_chain_length=3,
         map_pool_dtype=args.pool_dtype,
@@ -270,7 +281,8 @@ def main():
         laser2body=(laser_rot, laser_trans),
         **cam_kw,
         keyframe_kw=dict(
-            keyframe_distance=0.3, closure_radius=2.0,
+            keyframe_distance=args.keyframe_distance,
+            closure_radius=2.0,
             min_separation=3, min_score=0.2, closure_info=1000.0,
             # the sweep must span the drift accumulated around the turn
             # yaw rides the IMU (near-zero drift): keep the yaw sweep

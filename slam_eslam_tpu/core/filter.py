@@ -190,7 +190,8 @@ def take_packed(particles, idx):
     )
     packed = jnp.concatenate(
         [
-            as_bits(p.xy),
+            as_bits(p.x)[:, None],
+            as_bits(p.y)[:, None],
             as_bits(p.yaw)[:, None],
             as_bits(p.z)[:, None],
             as_bits(p.z_sigma)[:, None],
@@ -205,7 +206,8 @@ def take_packed(particles, idx):
     g = jnp.take(packed, idx, axis=0, indices_are_sorted=True)
     as_f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     return ParticleSet(
-        xy=as_f32(g[:, :2]),
+        x=as_f32(g[:, 0]),
+        y=as_f32(g[:, 1]),
         yaw=as_f32(g[:, 2]),
         z=as_f32(g[:, 3]),
         z_sigma=as_f32(g[:, 4]),

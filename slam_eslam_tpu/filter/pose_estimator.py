@@ -77,7 +77,8 @@ def init_gaussian(key, n, mu_xy, mu_yaw, sigma_xy, sigma_yaw, zpos, zsigma):
     p = ParticleSet.zeros(n)
     return dataclasses.replace(
         p,
-        xy=xy.astype(jnp.float32),
+        x=xy[:, 0].astype(jnp.float32),
+        y=xy[:, 1].astype(jnp.float32),
         yaw=yaw.astype(jnp.float32),
         z=jnp.full((n,), zpos, jnp.float32),
         z_sigma=jnp.full((n,), zsigma, jnp.float32),
@@ -121,9 +122,15 @@ def project(
     # longitudinal (y) component shrinks by U(0,1)
     slip = jax.random.uniform(k_slip1, (n,)) < cfg.slip_factor
     shrink = jax.random.uniform(k_slip2, (n,))
-    dxy = dxy.at[:, 1].multiply(jnp.where(slip, shrink, 1.0))
+    dx0 = dxy[:, 0]
+    dy0 = dxy[:, 1] * jnp.where(slip, shrink, 1.0)
 
-    xy = p.xy + geometry.rotate2d(p.yaw, dxy)
+    # body->world rotation, expanded on [N] components (a [N, 2]
+    # intermediate would re-introduce the padded-lane layout the split
+    # x/y storage exists to avoid)
+    c, s = jnp.cos(p.yaw), jnp.sin(p.yaw)
+    x = p.x + c * dx0 - s * dy0
+    y = p.y + s * dx0 + c * dy0
     yaw = p.yaw + dyaw
 
     weight = p.weight
@@ -144,11 +151,13 @@ def project(
         )
         trans_fac = cfg.spread_translation_factor * spread
         rot_fac = cfg.spread_rotation_factor * spread
-        xy = xy + jax.random.normal(k_spread_xy, (n, 2)) * trans_fac
+        noise = jax.random.normal(k_spread_xy, (n, 2)) * trans_fac
+        x = x + noise[:, 0]
+        y = y + noise[:, 1]
         yaw = yaw + jax.random.normal(k_spread_yaw, (n,)) * rot_fac
 
     particles = dataclasses.replace(
-        p, xy=xy, yaw=yaw, z=z, z_sigma=z_sigma, weight=weight
+        p, x=x, y=y, yaw=yaw, z=z, z_sigma=z_sigma, weight=weight
     )
     return dataclasses.replace(
         state, particles=particles, key=key, step=state.step + 1
@@ -340,7 +349,10 @@ def centroid(particles: ParticleSet, orientation, wrap_safe=False):
     circular mean instead (``Config.wrap_safe_centroid``).
     """
     w, _ = pf.normalize_weights(particles.weight)
-    xy = jnp.sum(particles.xy * w[:, None], axis=0)
+    # per-axis [N] sums (a [N, 2] weighted reduce read the lane-padded
+    # layout at 72 us/step in the round-4 trace)
+    cx = jnp.sum(particles.x * w)
+    cy = jnp.sum(particles.y * w)
     if wrap_safe:
         yaw = jnp.arctan2(
             jnp.sum(jnp.sin(particles.yaw) * w),
@@ -352,4 +364,4 @@ def centroid(particles: ParticleSet, orientation, wrap_safe=False):
     q = geometry.quat_mul(
         geometry.quat_from_yaw(yaw), geometry.remove_yaw(orientation)
     )
-    return jnp.array([xy[0], xy[1], z]), q
+    return jnp.array([cx, cy, z]), q

@@ -221,8 +221,7 @@ class SurfaceHash:
         ids = self.sorted_idx[u]
         p = ParticleSet.zeros(n)
         return dataclasses.replace(
-            p,
-            xy=self.cand_xy[ids],
+            p.with_xy(self.cand_xy[ids]),
             yaw=self.cand_yaw[ids],
             z=self.cand_z[ids],
             z_sigma=jnp.zeros((n,), jnp.float32),
@@ -280,7 +279,8 @@ def _reinject_jit(hash_, state, contact_state, orientation, cfg):
     new_weight = pf.weights_avg(p.weight) * hash_.config.avg_factor * rel
     particles = dataclasses.replace(
         p,
-        xy=jnp.where(replace[:, None], hash_.cand_xy[ids], p.xy),
+        x=jnp.where(replace, hash_.cand_xy[ids, 0], p.x),
+        y=jnp.where(replace, hash_.cand_xy[ids, 1], p.y),
         yaw=jnp.where(replace, hash_.cand_yaw[ids], p.yaw),
         z=jnp.where(replace, hash_.cand_z[ids], p.z),
         z_sigma=jnp.where(replace, 0.5, p.z_sigma),

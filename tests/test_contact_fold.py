@@ -162,8 +162,7 @@ class TestFoldParity:
         key = jax.random.PRNGKey(7)
         xy = jax.random.uniform(key, (n, 2), minval=-1.5, maxval=1.5)
         particles = dataclasses.replace(
-            ParticleSet.zeros(n),
-            xy=xy,
+            ParticleSet.zeros(n).with_xy(xy),
             z=jnp.asarray(
                 terrain(np.asarray(xy[:, 0]), np.asarray(xy[:, 1]))
             ).astype(jnp.float32) + 0.1,

@@ -266,7 +266,7 @@ class TestScanMapping:
         xy = p.xy.at[0, 1].add(5.0)
         z = p.z.at[0].add(3.0)
         f.state = dataclasses.replace(
-            f.state, particles=dataclasses.replace(p, xy=xy, z=z)
+            f.state, particles=dataclasses.replace(p.with_xy(xy), z=z)
         )
         f.update_scan((q, np.array([0.06, 0, 0])), self._scan(), lb)
         w1 = np.asarray(f.state.particles.weight)

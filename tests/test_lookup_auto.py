@@ -117,8 +117,7 @@ class TestFilterAutoLookup:
         key = jax.random.PRNGKey(3)
         xy = jax.random.uniform(key, (n, 2), minval=-6.0, maxval=6.0)
         particles = dataclasses.replace(
-            ParticleSet.zeros(n),
-            xy=xy,
+            ParticleSet.zeros(n).with_xy(xy),
             z=jnp.asarray(
                 terrain(np.asarray(xy[:, 0]), np.asarray(xy[:, 1]))
             ).astype(jnp.float32) + 0.1,

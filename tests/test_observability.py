@@ -113,8 +113,7 @@ class TestViz:
 
         p = ParticleSet.zeros(32)
         p = dataclasses.replace(
-            p,
-            xy=jax.random.normal(jax.random.PRNGKey(0), (32, 2)),
+            p.with_xy(jax.random.normal(jax.random.PRNGKey(0), (32, 2))),
             weight=jnp.full((32,), 1 / 32),
         )
         cs = BodyContactState.create(np.zeros((4, 3), np.float32))

@@ -233,10 +233,9 @@ class TestHashPerParticle:
         f.state = dataclasses.replace(
             f.state,
             particles=dataclasses.replace(
-                p,
-                xy=jnp.zeros_like(p.xy) + jnp.asarray(
+                p.with_xy(jnp.zeros_like(p.xy) + jnp.asarray(
                     sim.position[:2], jnp.float32
-                ),
+                )),
                 z=jnp.full_like(p.z, sim.position[2]),
                 z_sigma=jnp.full_like(p.z_sigma, 0.1),
             ),
@@ -260,8 +259,8 @@ class TestHashPerParticle:
         p = f.state.particles
         f.state = dataclasses.replace(
             f.state,
-            particles=dataclasses.replace(
-                p, xy=p.xy + jnp.asarray([4.0, 0.0], jnp.float32)
+            particles=p.with_xy(
+                p.xy + jnp.asarray([4.0, 0.0], jnp.float32)
             ),
         )
         errs = []

@@ -292,8 +292,7 @@ class TestCentroid:
 
         p = ParticleSet.zeros(2)
         p = dataclasses.replace(
-            p,
-            xy=jnp.array([[0.0, 0.0], [1.0, 2.0]]),
+            p.with_xy(jnp.array([[0.0, 0.0], [1.0, 2.0]])),
             yaw=jnp.array([0.0, 1.0]),
             z=jnp.array([0.0, 4.0]),
             weight=jnp.array([3.0, 1.0]),
