@@ -272,6 +272,7 @@ def main():
     slam = OnlineSlam(
         config=cfg,
         submap_scans=3,
+        donate=args.donate,
         # skid-steer: commanded yaw drags the stance feet sideways, a
         # systematic slip the error model must cover or the particle
         # cloud cannot span the true pose (classic odometry tuning)

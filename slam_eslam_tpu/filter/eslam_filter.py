@@ -480,7 +480,7 @@ class EmbodiedSlamFilter:
 
     def run_stream(self, frames, laser2body=None, mesh=None,
                    camera2body=None, camera_intrinsics=None,
-                   camera_texture=False):
+                   camera_texture=False, donate=False):
         """Device-resident execution of a whole frame stream
         (``filter.streaming``): every per-frame update this class would
         dispatch individually runs inside ONE ``lax.scan`` dispatch —
@@ -515,7 +515,7 @@ class EmbodiedSlamFilter:
 
         key = ("stream", _extr(laser2body), _extr(camera2body),
                camera_intrinsics, camera_texture, self.odometry_config,
-               None if mesh is None else id(mesh))
+               donate, None if mesh is None else id(mesh))
         if key not in self._jit_cache:
             self._jit_cache[key] = (
                 streaming.make_slam_scan_runner(
@@ -524,6 +524,7 @@ class EmbodiedSlamFilter:
                     camera_intrinsics=camera_intrinsics,
                     camera_texture=camera_texture,
                     odometry_config=self.odometry_config,
+                    donate=donate,
                 ),
                 mesh,  # strong ref: pins id(mesh) for the cache lifetime
             )
@@ -546,6 +547,11 @@ class EmbodiedSlamFilter:
             update_idx=jnp.asarray(self.update_idx, jnp.int32),
         )
         runner, _ = self._jit_cache[key]
+        if donate:
+            # the carry aliases self.state/self.pool buffers; donation
+            # invalidates them (reassigned from the output below) —
+            # halves peak pool HBM across chunked streams
+            self.state = self.pool = None
         carry, aux = runner(carry, frames)
         self.state = carry.filter
         self.pool = carry.pool

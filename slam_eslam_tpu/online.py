@@ -39,7 +39,7 @@ class OnlineSlam:
     def __init__(self, config: Config = None, laser2body=None,
                  keyframe_kw=None, mesh=None, camera2body=None,
                  camera_intrinsics=None, camera_texture=False,
-                 odometry_config=None, submap_scans=1):
+                 odometry_config=None, submap_scans=1, donate=False):
         self.filter = EmbodiedSlamFilter(
             odometry_config=odometry_config, config=config
         )
@@ -62,6 +62,9 @@ class OnlineSlam:
         # `submap_scans` keeps the raw-scan fallback for callers
         # without per-particle maps.
         self.submap_scans = max(1, submap_scans)
+        # donate the scan carry per chunk: halves peak pool HBM
+        # (stretch-scale per-particle pools)
+        self.donate = donate
         self._recent = []  # [(pose_xyyawz, cloud), ...]
 
     def init(self, pose, **kw):
@@ -79,6 +82,7 @@ class OnlineSlam:
             camera2body=self.camera2body,
             camera_intrinsics=self.camera_intrinsics,
             camera_texture=self.camera_texture,
+            donate=self.donate,
         )
         mapped = np.asarray(aux["mapped"])
         frame_base = self._frame_base
