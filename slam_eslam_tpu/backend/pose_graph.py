@@ -653,15 +653,25 @@ def scan_align(grid, cloud, xy0, yaw0, z0,
             sampling=1, sigma=sigma, z_window=z_window,
         )
 
-    scores = jax.vmap(
-        lambda dz: jax.vmap(
-            lambda dyaw: jax.vmap(
-                lambda dx: jax.vmap(
-                    lambda dy: eval_one(dx, dy, dyaw, dz)
-                )(dxs)
+    # outer (dz, dyaw) axes stream via lax.map: a full 4-axis vmap
+    # materialises steps_z*steps_yaw*steps_xy^2 x |cloud| gather
+    # intermediates at once — several GB for a 31x31x5x7 sweep over a
+    # keyframe submap, which OOMs next to a stretch-scale resident map
+    # pool (round-4 50k composition).  Memory now peaks at one
+    # (dx, dy) sheet per (dz, dyaw) pair; same values.
+    zz, yy = jnp.meshgrid(dzs, dyaws, indexing="ij")
+
+    def sheet(args):
+        dz, dyaw = args
+        return jax.vmap(
+            lambda dx: jax.vmap(
+                lambda dy: eval_one(dx, dy, dyaw, dz)
             )(dxs)
-        )(dyaws)
-    )(dzs)                                    # [z, yaw, x, y]
+        )(dxs)
+
+    scores = jax.lax.map(
+        sheet, (zz.reshape(-1), yy.reshape(-1))
+    ).reshape(len(dzs), len(dyaws), steps_xy, steps_xy)  # [z, yaw, x, y]
     flat = scores.reshape(-1)
     best = jnp.argmax(flat)
     iy = best % steps_xy
