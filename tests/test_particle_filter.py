@@ -78,6 +78,44 @@ class TestResampling:
         idx = f(jax.random.PRNGKey(0), jnp.full(16, 1 / 16))
         assert idx.shape == (16,)
 
+    @pytest.mark.parametrize("n,block", [(500, 64), (5000, 128),
+                                         (20000, 128), (4096, 256)])
+    def test_wide_search_matches_bisection(self, n, block):
+        """The two-level wide search (production lowering) must return
+        the binary search's indices, up to ±1 where a position collides
+        within 1 ulp of a non-monotone dip of the float cumsum (both
+        answers are statistically equivalent there; the reference's
+        sequential walk is a third)."""
+        for seed in range(3):
+            kw, kp = jax.random.split(jax.random.PRNGKey(seed))
+            logw = 3.0 * jax.random.normal(kw, (n,))
+            w = jax.nn.softmax(logw)
+            u = jax.random.uniform(kp, (n,))
+            positions = (jnp.arange(n, dtype=jnp.float32) + u) / n
+            a = np.asarray(pf._resample_from_positions(
+                w, positions, method="bisect"))
+            b = np.asarray(pf._resample_from_positions(
+                w, positions, block=block))
+            d = np.abs(a.astype(np.int64) - b)
+            assert d.max() <= 1
+            assert (d > 0).mean() < 1e-3
+
+    def test_wide_search_degenerate_and_unsorted(self):
+        # all mass on one particle; multinomial (unsorted positions)
+        n = 3000
+        w = jnp.zeros(n).at[1234].set(1.0)
+        u = jax.random.uniform(jax.random.PRNGKey(3), (n,))
+        idx = np.asarray(pf._resample_from_positions(w, u))
+        assert np.all(idx == 1234)
+        # unsorted positions through both paths
+        w2 = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(4),
+                                              (n,)))
+        a = np.asarray(pf._resample_from_positions(
+            w2, u, method="bisect"))
+        b = np.asarray(pf._resample_from_positions(
+            w2, u, positions_sorted=False))
+        assert np.abs(a.astype(np.int64) - b).max() <= 1
+
     def test_best_particle_index(self):
         assert int(pf.best_particle_index(jnp.array([0.1, 0.7, 0.2]))) == 1
 
