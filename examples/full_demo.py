@@ -126,6 +126,20 @@ def main():
                     help="keyframe spacing (m); stretch routes want "
                     "~1.5 to keep the closure search quadratic in a "
                     "small keyframe count")
+    ap.add_argument("--closure-radius", type=float, default=2.0,
+                    dest="closure_radius",
+                    help="revisit-candidate radius on BELIEVED poses; "
+                    "must exceed the accumulated drift at revisit time "
+                    "(stretch: ~8)")
+    ap.add_argument("--align-coarse", default="",
+                    dest="align_coarse",
+                    help="'search_xy,steps,sigma' coarse stage seeding "
+                    "the fine sweep (e.g. '8.0,21,0.5' to span "
+                    "stretch-scale drift)")
+    ap.add_argument("--align-z", type=float, default=0.3,
+                    dest="align_z",
+                    help="vertical sweep half-range of the closure "
+                    "alignment (cover the z drift)")
     args = ap.parse_args()
     if args.extent != 6.0:
         _ROCK_EXTENT[0] = args.extent
@@ -283,14 +297,18 @@ def main():
         **cam_kw,
         keyframe_kw=dict(
             keyframe_distance=args.keyframe_distance,
-            closure_radius=2.0,
+            closure_radius=args.closure_radius,
+            align_coarse=(tuple(
+                float(v) if i != 1 else int(float(v))
+                for i, v in enumerate(args.align_coarse.split(","))
+            ) if args.align_coarse else None),
             min_separation=3, min_score=0.2, closure_info=1000.0,
             # the sweep must span the drift accumulated around the turn
             # yaw rides the IMU (near-zero drift): keep the yaw sweep
             # tight so xy ambiguity cannot masquerade as rotation
             align_search_xy=1.5, align_search_yaw=0.15,
             align_steps_xy=31, align_steps_yaw=5, align_sigma=0.05,
-            align_search_z=0.3, align_steps_z=7,
+            align_search_z=args.align_z, align_steps_z=7,
         ),
     )
     slam.init(pose=(truth[0][:3], truth[0][3]))

@@ -47,7 +47,8 @@ class KeyframeManager:
                  odom_info=100.0, closure_info=300.0,
                  align_search_xy=0.5, align_search_yaw=0.3,
                  align_steps_xy=9, align_steps_yaw=7,
-                 align_sigma=0.2, align_search_z=0.0, align_steps_z=1):
+                 align_sigma=0.2, align_search_z=0.0, align_steps_z=1,
+                 align_coarse=None):
         # NOTE: the alignment score averages over ALL sampled cloud
         # points (misses count 0), so keyframe grids must be coarse
         # enough that the stored cloud covers most cells — hence the
@@ -72,6 +73,13 @@ class KeyframeManager:
         self.align_sigma = align_sigma
         self.align_search_z = align_search_z
         self.align_steps_z = align_steps_z
+        # coarse-to-fine: ``(search_xy, steps_xy, sigma)`` for a wide
+        # stage-A sweep whose peak seeds the fine sweep above.  Long
+        # routes accumulate drift far beyond a fine sweep's extent
+        # (round-4 stretch: ~6 m over a 100 m traverse vs a ±1.5 m
+        # sweep) — a blurred coarse correlation localises the revisit
+        # to within the fine sweep's range first.
+        self.align_coarse = align_coarse
         self.builder = pgr.PoseGraphBuilder(max_nodes, max_edges)
         self.keyframes: list[Keyframe] = []
         self.closures: list[tuple] = []
@@ -154,10 +162,23 @@ class KeyframeManager:
         best = None
         for _, old in cands[:top_k]:
             grid = self._kf_grid(old)
+            xy0 = jnp.asarray(kf.pose[:2], jnp.float32)
+            yaw0 = jnp.asarray(kf.pose[2], jnp.float32)
+            if self.align_coarse is not None:
+                csearch, csteps, csigma = self.align_coarse
+                xy0, yaw0, _ = pgr.scan_align(
+                    grid, probe_cloud, xy0, yaw0,
+                    jnp.asarray(kf.z, jnp.float32),
+                    search_xy=csearch,
+                    search_yaw=self.align_search_yaw,
+                    steps_xy=csteps,
+                    steps_yaw=self.align_steps_yaw,
+                    sigma=csigma,
+                    search_z=self.align_search_z,
+                    steps_z=self.align_steps_z,
+                )
             xy, yaw, score = pgr.scan_align(
-                grid, probe_cloud,
-                jnp.asarray(kf.pose[:2], jnp.float32),
-                jnp.asarray(kf.pose[2], jnp.float32),
+                grid, probe_cloud, xy0, yaw0,
                 jnp.asarray(kf.z, jnp.float32),
                 search_xy=self.align_search_xy,
                 search_yaw=self.align_search_yaw,
