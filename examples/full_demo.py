@@ -140,6 +140,16 @@ def main():
                     dest="align_z",
                     help="vertical sweep half-range of the closure "
                     "alignment (cover the z drift)")
+    ap.add_argument("--min-score", type=float, default=0.2,
+                    dest="min_score",
+                    help="closure acceptance score; raise on "
+                    "self-similar stretch terrain")
+    ap.add_argument("--min-separation", type=int, default=0,
+                    dest="min_separation",
+                    help="keyframe-index gap for closure candidates "
+                    "(0 = auto: closure_radius/keyframe_distance + 2, "
+                    "so same-leg neighbours inside the radius never "
+                    "count as revisits)")
     args = ap.parse_args()
     if args.extent != 6.0:
         _ROCK_EXTENT[0] = args.extent
@@ -302,7 +312,10 @@ def main():
                 float(v) if i != 1 else int(float(v))
                 for i, v in enumerate(args.align_coarse.split(","))
             ) if args.align_coarse else None),
-            min_separation=3, min_score=0.2, closure_info=1000.0,
+            min_separation=(args.min_separation or max(
+                3, int(args.closure_radius / args.keyframe_distance) + 2
+            )),
+            min_score=args.min_score, closure_info=1000.0,
             # the sweep must span the drift accumulated around the turn
             # yaw rides the IMU (near-zero drift): keep the yaw sweep
             # tight so xy ambiguity cannot masquerade as rotation
