@@ -163,7 +163,6 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     from slam_eslam_tpu.config import (
         Config, ContactModelConfig, OdometryConfig, SurfaceHashConfig,

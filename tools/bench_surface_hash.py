@@ -16,7 +16,6 @@ Prints one JSON line.
 import argparse
 import dataclasses
 import json
-import sys
 import time
 
 
