@@ -144,6 +144,9 @@ def main():
                     dest="min_score",
                     help="closure acceptance score; raise on "
                     "self-similar stretch terrain")
+    ap.add_argument("--closure-info", type=float, default=1000.0,
+                    dest="closure_info",
+                    help="information weight of closure edges (x score)")
     ap.add_argument("--min-separation", type=int, default=0,
                     dest="min_separation",
                     help="keyframe-index gap for closure candidates "
@@ -314,7 +317,7 @@ def main():
             min_separation=(args.min_separation or max(
                 3, int(args.closure_radius / args.keyframe_distance) + 2
             )),
-            min_score=args.min_score, closure_info=1000.0,
+            min_score=args.min_score, closure_info=args.closure_info,
             # the sweep must span the drift accumulated around the turn
             # yaw rides the IMU (near-zero drift): keep the yaw sweep
             # tight so xy ambiguity cannot masquerade as rotation
