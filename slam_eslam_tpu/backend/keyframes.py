@@ -223,6 +223,20 @@ class KeyframeManager:
         matrix-free, optionally mesh-distributed, PCG).
         """
         import numpy as _np
+        import os as _os
+
+        if _os.environ.get("SLAM_DEBUG_EDGES"):
+            g = self.builder.graph
+            r = _np.asarray(pgr.edge_residuals(g)[0])
+            n_e = self.builder.n_edges
+            chi = (r[:n_e] ** 2 * _np.asarray(
+                jnp.diagonal(g.edge_info[:n_e], axis1=1, axis2=2)
+            )).sum(-1)
+            worst = _np.argsort(-chi)[:10]
+            for e in worst:
+                print(f"edge {int(g.edge_i[e])}->{int(g.edge_j[e])} "
+                      f"chi2 {chi[e]:.1f} resid {r[e].round(3)} "
+                      f"z {_np.asarray(g.edge_z[e]).round(3)}")
 
         fix_mask = None
         if incremental:

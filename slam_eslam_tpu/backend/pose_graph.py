@@ -622,7 +622,8 @@ def optimize_schur(graph: PoseGraph, iters=10, segments=4,
 
 def scan_align(grid, cloud, xy0, yaw0, z0,
                search_xy=0.5, search_yaw=0.3, steps_xy=9, steps_yaw=7,
-               z_window=3.0, sigma=0.2, search_z=0.0, steps_z=1):
+               z_window=3.0, sigma=0.2, search_z=0.0, steps_z=1,
+               return_ratio=False, ratio_exclusion=0.75):
     """Grid-search alignment of a scan cloud against an MLS grid around
     an initial pose guess — the loop-closure front-end.  Evaluates the
     ``match_cloud`` consistency score over a (dx, dy, dyaw[, dz]) grid
@@ -677,11 +678,27 @@ def scan_align(grid, cloud, xy0, yaw0, z0,
     iy = best % steps_xy
     ixx = (best // steps_xy) % steps_xy
     iyaw = (best // (steps_xy * steps_xy)) % steps_yaw
-    return (
+    out = (
         xy0 + jnp.array([dxs[ixx], dxs[iy]]),
         yaw0 + dyaws[iyaw],
         flat[best],
     )
+    if not return_ratio:
+        return out
+    # peak distinctiveness: best vs the best score at an xy offset more
+    # than ``ratio_exclusion`` metres from the peak.  On self-similar
+    # terrain partial-overlap false peaks score close to the true
+    # match's absolute score (round-4 stretch: false closures at
+    # ~5 m offsets scored ~0.3 == true revisits) — a flat score surface
+    # is the tell, the absolute value is not.
+    k = jnp.arange(flat.shape[0])
+    ox = dxs[(k // steps_xy) % steps_xy]
+    oy = dxs[k % steps_xy]
+    far = ((ox - dxs[ixx]) ** 2 + (oy - dxs[iy]) ** 2
+           > ratio_exclusion ** 2)
+    second = jnp.max(jnp.where(far, flat, -jnp.inf))
+    ratio = flat[best] / jnp.maximum(second, 1e-6)
+    return out + (ratio,)
 
 
 class PoseGraphBuilder:
