@@ -104,6 +104,26 @@ def window_gather(table, lx, ly, *, tile=512, interpret=False,
     return out[:q]
 
 
+def _window_anchor(ic, tw, n, center=None):
+    """Window origin for (clipped) query cells ``ic`` on a grid axis of
+    size ``n``: mean-centred, then clamped into the coverage interval
+    ``[max(mx - tw + 1, 0), min(mn, n - tw)]`` so that whenever the
+    cell span fits (``mx - mn < tw``) EVERY in-bounds query lands
+    inside the window.  Round-4 advisor find: the bare mean-centred
+    anchor could place a just-fitting but skewed cloud so that its far
+    tail spilled out of the window, silently zeroing those contacts in
+    the tiered fold path whose ``fits`` gate tests only the bbox span.
+    When the span does NOT fit (fallback-off regimes) ``lo > hi`` and
+    ``clip`` anchors at the bbox min — a best-effort window, same
+    contract as before (out-of-window queries report not-found).
+    ``center`` overrides the mean (``center_subsample`` support)."""
+    if center is None:
+        center = jnp.mean(ic).astype(jnp.int32)
+    lo = jnp.maximum(jnp.max(ic) - tw + 1, 0)
+    hi = jnp.minimum(jnp.min(ic), max(n - tw, 0))
+    return jnp.clip(center - tw // 2, lo, hi)
+
+
 def windowed_get_patch(packed, points, z_window=3.0, window=64,
                        margin=2, tile=512, interpret=False,
                        mxu_dtype=jnp.bfloat16):
@@ -124,15 +144,9 @@ def windowed_get_patch(packed, points, z_window=3.0, window=64,
     iy = jnp.floor(rel[:, 1]).astype(jnp.int32)
     inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
 
-    # window origin: cloud mean cell, clamped inside the grid
-    cx = jnp.clip(
-        jnp.mean(jnp.clip(ix, 0, nx - 1)).astype(jnp.int32) - window // 2,
-        0, max(nx - window, 0),
-    )
-    cy = jnp.clip(
-        jnp.mean(jnp.clip(iy, 0, ny - 1)).astype(jnp.int32) - window // 2,
-        0, max(ny - window, 0),
-    )
+    # window origin: cloud mean cell, coverage-clamped (_window_anchor)
+    cx = _window_anchor(jnp.clip(ix, 0, nx - 1), window, nx)
+    cy = _window_anchor(jnp.clip(iy, 0, ny - 1), window, ny)
     table = jax.lax.dynamic_slice(
         packed.data, (cx, cy, 0), (window, window, 2 * k)
     )
@@ -899,17 +913,16 @@ def windowed_select_cells(packed, ix, iy, z, z_window=3.0, window=64,
     nx, ny = packed.data.shape[0], packed.data.shape[1]
     inb = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
 
-    cix, ciy = (ix, iy) if center_subsample <= 1 else (
-        ix[:center_subsample], iy[:center_subsample]
-    )
-    cx = jnp.clip(
-        jnp.mean(jnp.clip(cix, 0, nx - 1)).astype(jnp.int32) - wx // 2,
-        0, max(nx - wx, 0),
-    )
-    cy = jnp.clip(
-        jnp.mean(jnp.clip(ciy, 0, ny - 1)).astype(jnp.int32) - wy // 2,
-        0, max(ny - wy, 0),
-    )
+    ctr_x = ctr_y = None
+    if center_subsample > 1:
+        ctr_x = jnp.mean(
+            jnp.clip(ix[:center_subsample], 0, nx - 1)
+        ).astype(jnp.int32)
+        ctr_y = jnp.mean(
+            jnp.clip(iy[:center_subsample], 0, ny - 1)
+        ).astype(jnp.int32)
+    cx = _window_anchor(jnp.clip(ix, 0, nx - 1), wx, nx, center=ctr_x)
+    cy = _window_anchor(jnp.clip(iy, 0, ny - 1), wy, ny, center=ctr_y)
     c = 2 * packed.k
     if layout in ("q_lanes", "q_flat") and packed.data_t is not None:
         # pre-transposed table: the slice + leading-dim merge are
@@ -1139,14 +1152,8 @@ def windowed_grid_lookup(packed, z_window=3.0, window=64, tile=1024,
             def kernel_branch(ix, iy, zz, act, mv):
                 ixc = jnp.clip(ix, 0, nx - 1)
                 iyc = jnp.clip(iy, 0, ny - 1)
-                cx = jnp.clip(
-                    jnp.mean(ixc).astype(jnp.int32) - twx // 2,
-                    0, max(nx - twx, 0),
-                )
-                cy = jnp.clip(
-                    jnp.mean(iyc).astype(jnp.int32) - twy // 2,
-                    0, max(ny - twy, 0),
-                )
+                cx = _window_anchor(ixc, twx, nx)
+                cy = _window_anchor(iyc, twy, ny)
                 c = 2 * packed.k
                 if packed.data_t is not None:
                     table = None

@@ -200,6 +200,51 @@ class TestFoldParity:
             atol=1e-5,
         )
 
+    def test_skewed_cloud_tier_coverage(self, grid):
+        """Round-4 advisor (high): a cloud whose span just FITS a tier
+        but whose mass sits at one end must not lose far-tail contacts
+        to the tier window.  The fits gate tests the bbox span; the
+        anchor was mean-centred, so a skewed cloud (y-span 30 cells,
+        mass at the bottom, 4 particles 2.5 m up) spilled out of the
+        (128, 32) tier.  Fixed by the ``_window_anchor`` coverage
+        clamp; the oracle is the exact gather."""
+        n, n_tail = 64, 4
+        y = np.full((n,), -1.3, np.float32)
+        y[: n - n_tail] += np.linspace(-0.05, 0.05, n - n_tail)
+        y[n - n_tail:] = 1.25  # tail: world y-span 3.0 m = 30 cells
+        x = np.linspace(-0.3, 0.3, n).astype(np.float32)
+        z = terrain(x, y).astype(np.float32)
+        rot = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3))
+        trans = jnp.asarray(np.stack([x, y, z + 0.1], -1))
+        meas_var = jnp.full((n,), 0.09, jnp.float32)
+        state = _contact_state()
+
+        def run(cfg, fold):
+            cmc = dataclasses.replace(
+                cfg.contact_model, contact_point_radius=0.0,
+                min_contacts=2, fold_lookup=fold,
+            )
+            cfg = dataclasses.replace(cfg, contact_model=cmc)
+            lookup = make_lookup(cfg, grid, tile=1024)
+            return jax.jit(
+                lambda r, t, mv: cm.evaluate_pose_batch(
+                    state, r, t, mv, pe.bind_lookup(lookup, None), cmc
+                )
+            )(rot, trans, meas_var)
+
+        # default tiers ((128,32) catches span 30) vs exact gather
+        a = run(Config(lookup_mode="auto"), fold=True)
+        b = run(Config(lookup_mode="gather"), fold=False)
+        # every particle (incl. the tail) must keep all its contacts
+        np.testing.assert_array_equal(
+            np.asarray(a.n_contacts), np.asarray(b.n_contacts)
+        )
+        assert np.asarray(b.measurement_valid).all()
+        _assert_results_close(a, b)
+        # unfolded auto path (full-window fits cond) too
+        c = run(Config(lookup_mode="auto"), fold=False)
+        _assert_results_close(c, b)
+
     def test_debug_points_disable_fold(self, grid):
         # with_debug_points needs per-query data — the fold must bow out
         cmc = ContactModelConfig(
