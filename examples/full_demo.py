@@ -83,6 +83,24 @@ def raycast(origins, dirs, t_min=0.25, t_max=3.2, dt=0.02):
     return np.where(hit, ts[first], np.inf)
 
 
+def _coarse_spec(text):
+    """Parse '--align-coarse search_xy,steps,sigma' with a clear error
+    (advisor round 4: a malformed value crashed deep inside
+    ``KeyframeManager._try_closure`` with an opaque unpack failure)."""
+    parts = text.split(",")
+    if len(parts) != 3:
+        raise argparse.ArgumentTypeError(
+            f"expected 'search_xy,steps,sigma' (3 fields), got {text!r}"
+        )
+    try:
+        return (float(parts[0]), int(float(parts[1])), float(parts[2]))
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"non-numeric field in {text!r} "
+            "(expected 'search_xy,steps,sigma')"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=48,
@@ -131,7 +149,7 @@ def main():
                     help="revisit-candidate radius on BELIEVED poses; "
                     "must exceed the accumulated drift at revisit time "
                     "(stretch: ~8)")
-    ap.add_argument("--align-coarse", default="",
+    ap.add_argument("--align-coarse", default=None, type=_coarse_spec,
                     dest="align_coarse",
                     help="'search_xy,steps,sigma' coarse stage seeding "
                     "the fine sweep (e.g. '8.0,21,0.5' to span "
@@ -144,6 +162,13 @@ def main():
                     dest="min_score",
                     help="closure acceptance score; raise on "
                     "self-similar stretch terrain")
+    ap.add_argument("--min-ratio", type=float, default=1.0,
+                    dest="min_ratio",
+                    help="closure peak-distinctiveness gate: best "
+                    "score must exceed min_ratio x the best score "
+                    ">0.75 m from the peak (1.0 = off); flat score "
+                    "surfaces are the false-closure tell on "
+                    "self-similar terrain")
     ap.add_argument("--closure-info", type=float, default=1000.0,
                     dest="closure_info",
                     help="information weight of closure edges (x score)")
@@ -310,14 +335,12 @@ def main():
         keyframe_kw=dict(
             keyframe_distance=args.keyframe_distance,
             closure_radius=args.closure_radius,
-            align_coarse=(tuple(
-                float(v) if i != 1 else int(float(v))
-                for i, v in enumerate(args.align_coarse.split(","))
-            ) if args.align_coarse else None),
+            align_coarse=args.align_coarse,
             min_separation=(args.min_separation or max(
                 3, int(args.closure_radius / args.keyframe_distance) + 2
             )),
-            min_score=args.min_score, closure_info=args.closure_info,
+            min_score=args.min_score, min_ratio=args.min_ratio,
+            closure_info=args.closure_info,
             # the sweep must span the drift accumulated around the turn
             # yaw rides the IMU (near-zero drift): keep the yaw sweep
             # tight so xy ambiguity cannot masquerade as rotation

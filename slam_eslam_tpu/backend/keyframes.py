@@ -41,7 +41,7 @@ class Keyframe:
 
 class KeyframeManager:
     def __init__(self, keyframe_distance=0.5, closure_radius=1.0,
-                 min_separation=5, min_score=0.35,
+                 min_separation=5, min_score=0.35, min_ratio=1.0,
                  grid_resolution=0.2, grid_cells=48,
                  max_nodes=256, max_edges=1024,
                  odom_info=100.0, closure_info=300.0,
@@ -57,6 +57,12 @@ class KeyframeManager:
         self.closure_radius = closure_radius
         self.min_separation = min_separation
         self.min_score = min_score
+        # peak-distinctiveness gate: best score vs best far-field score
+        # (``scan_align(return_ratio=True)``).  On self-similar terrain
+        # false closures ride a FLAT score surface — their absolute
+        # score matches true revisits but their peak barely beats the
+        # far field.  1.0 disables (ratio >= 1 by construction).
+        self.min_ratio = min_ratio
         self.grid_resolution = grid_resolution
         self.grid_cells = grid_cells
         self.odom_info = odom_info
@@ -177,7 +183,7 @@ class KeyframeManager:
                     search_z=self.align_search_z,
                     steps_z=self.align_steps_z,
                 )
-            xy, yaw, score = pgr.scan_align(
+            xy, yaw, score, ratio = pgr.scan_align(
                 grid, probe_cloud, xy0, yaw0,
                 jnp.asarray(kf.z, jnp.float32),
                 search_xy=self.align_search_xy,
@@ -187,18 +193,19 @@ class KeyframeManager:
                 sigma=self.align_sigma,
                 search_z=self.align_search_z,
                 steps_z=self.align_steps_z,
+                return_ratio=True,
             )
             if best is None or float(score) > best[0]:
-                best = (float(score), old, xy, yaw)
-        score, old, xy, yaw = best
-        if score < self.min_score:
+                best = (float(score), old, xy, yaw, float(ratio))
+        score, old, xy, yaw, ratio = best
+        if score < self.min_score or ratio < self.min_ratio:
             return None
         corrected = np.array([float(xy[0]), float(xy[1]), float(yaw)])
         import os
         if os.environ.get("SLAM_DEBUG_CLOSURES"):
             print(f"closure kf{old.index}<-kf{kf.index}: believed "
                   f"{kf.pose.round(3)} aligned {corrected.round(3)} "
-                  f"score {score:.3f}")
+                  f"score {score:.3f} ratio {ratio:.2f}")
         z_rel = self._rel_pose(old.pose, corrected)
         self.builder.add_edge(
             old.node_id, kf.node_id, z_rel,

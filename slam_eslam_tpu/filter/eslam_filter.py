@@ -547,12 +547,15 @@ class EmbodiedSlamFilter:
             update_idx=jnp.asarray(self.update_idx, jnp.int32),
         )
         runner, _ = self._jit_cache[key]
-        if donate:
-            # the carry aliases self.state/self.pool buffers; donation
-            # invalidates them (reassigned from the output below) —
-            # halves peak pool HBM across chunked streams
-            self.state = self.pool = None
         carry, aux = runner(carry, frames)
+        if donate:
+            # the carry aliased self.state/self.pool buffers; donation
+            # invalidated them — halves peak pool HBM across chunked
+            # streams.  Reassignment from the outputs below keeps the
+            # donation contract (the caller never reuses the donated
+            # buffers); nulling BEFORE the call would brick the filter
+            # if the runner raised (advisor round 4).
+            self.state = self.pool = None
         self.state = carry.filter
         self.pool = carry.pool
         self.update_idx = int(carry.update_idx)
