@@ -249,6 +249,25 @@ def main():
         n, args.contact_cap or 20, cfg.mls_patches_per_cell
     )
     sol = profiling.speed_of_light_fraction(best / args.steps, stats)
+
+    # per-kernel efficiency vs each kernel's OWN roofline (round-4
+    # verdict: the abstract sol models an ideal gather the fold
+    # algorithm cannot approach; these say how much perf work is left)
+    from slam_eslam_tpu.mapping import mls_grid
+    from slam_eslam_tpu.utils import kernel_eff
+
+    contact_extent = float(
+        np.linalg.norm(np.asarray(css[-1].position)[:, :2], axis=1).max()
+    )
+    tier = kernel_eff.steady_state_tier(
+        out_state.particles, contact_extent, grid.resolution,
+        cfg.lookup_tiers if cfg.lookup_mode == "auto" else (),
+        cfg.lookup_window,
+    )
+    fold = kernel_eff.fold_mfu(
+        mls_grid.PackedLookup.from_grid(grid), tier, n
+    )
+    merge = kernel_eff.merge_floor_fraction()
     result = {
         "metric": "particle_updates_per_sec_per_chip",
         "value": round(pu_per_s, 1),
@@ -257,6 +276,15 @@ def main():
         "sol_fraction": round(sol, 4),
         "ns_per_query": round(
             best / args.steps / stats["queries"] * 1e9, 3
+        ),
+        "fold_tier": list(tier),
+        "fold_mfu": round(fold["mfu"], 4) if fold else None,
+        "fold_kernel_us": round(fold["us"], 1) if fold else None,
+        "merge_dma_floor_fraction": (
+            round(merge["floor_fraction"], 3) if merge else None
+        ),
+        "merge_us_per_block": (
+            round(merge["merge_us_per_block"], 2) if merge else None
         ),
     }
     print(json.dumps(result))

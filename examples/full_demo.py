@@ -162,6 +162,17 @@ def main():
                     dest="min_score",
                     help="closure acceptance score; raise on "
                     "self-similar stretch terrain")
+    ap.add_argument("--turn-steps", type=int, default=0,
+                    dest="turn_steps",
+                    help="U-turn duration in steps (0 = steps/8); the "
+                    "turning-circle offset between the legs grows with "
+                    "turn path length — keep tight (~8) on stretch "
+                    "routes so the return leg re-crosses the out-leg "
+                    "ground")
+    ap.add_argument("--solver", choices=["dense", "schur"],
+                    default="dense",
+                    help="pose-graph backend solver; stretch runs use "
+                    "the Schur-partitioned solve (BASELINE #5)")
     ap.add_argument("--min-ratio", type=float, default=1.0,
                     dest="min_ratio",
                     help="closure peak-distinctiveness gate: best "
@@ -232,7 +243,7 @@ def main():
     # turn, a guaranteed revisit for the loop-closure backend)
     sim = AsguardSim(terrain=terrain)
     truth, t_count = [], [0]
-    turn_steps = max(4, args.steps // 8)
+    turn_steps = args.turn_steps or max(4, args.steps // 8)
     leg = (args.steps - turn_steps) // 2
 
     def world_rot(yaw):
@@ -356,8 +367,13 @@ def main():
         # EmbodiedSlamFilter.cpp:93-98); enables periodic reinjection
         from slam_eslam_tpu.filter import surface_hash as sh
 
+        # prior-survey grid covers the whole rock field (stretch routes
+        # extend with --extent; the old fixed +-11 m grid silently
+        # truncated the survey beyond the default route)
+        hx = args.extent + 5.0
+        hn = int(2 * hx / 0.25)
         hash_grid = simlib.terrain_grid(
-            terrain, nx=88, ny=88, resolution=0.25, origin=(-11.0, -11.0)
+            terrain, nx=hn, ny=hn, resolution=0.25, origin=(-hx, -hx)
         )
         slam.filter.hash = sh.SurfaceHash.create(
             SurfaceHashConfig(use_hash=True, period=20), hash_grid
@@ -408,7 +424,8 @@ def main():
     # robust=None: the DCS kernel would treat the (score-verified) large
     # closure corrections as outliers and zero them out — drift >> odom
     # noise is exactly the regime a verified closure must dominate
-    traj, hist = slam.optimize(iters=20, incremental=False, robust=None)
+    traj, hist = slam.optimize(iters=20, incremental=False, robust=None,
+                               solver=args.solver)
     after = np.asarray(traj)
 
     def kf_err(t):
@@ -416,12 +433,36 @@ def main():
             np.asarray(t)[:, :2] - kf_truth[:, :2], axis=1
         ).mean()
 
-    for (oi, ni, sc) in slam.keyframes.closures:
-        tn = np.stack(truth)[kf_frames[ni]]
-        bn = slam.keyframes.keyframes[ni].pose
-        print(f"  closure kf{oi} <- kf{ni} (score {sc:.3f}): kf{ni} "
-              f"believed ({bn[0]:.2f},{bn[1]:.2f},{bn[2]:.2f}) truth "
-              f"({tn[0]:.2f},{tn[1]:.2f},{tn[3]:.2f})")
+    # closure quality vs ground truth (the sim knows the true poses):
+    # a TRUE closure's aligned pose lands on the truth; a FALSE one
+    # (self-similar-terrain mismatch) lands metres away
+    false_thresh = 0.75
+    align_errs = []
+    for det in slam.keyframes.closure_details:
+        tn = np.stack(truth)[kf_frames[det["new"]]]
+        bn = det["believed"]
+        err = float(np.linalg.norm(det["corrected"][:2] - tn[:2]))
+        align_errs.append(err)
+        print(f"  closure kf{det['old']} <- kf{det['new']} "
+              f"(score {det['score']:.3f} ratio {det['ratio']:.2f}): "
+              f"believed ({bn[0]:.2f},{bn[1]:.2f}) aligned "
+              f"({det['corrected'][0]:.2f},{det['corrected'][1]:.2f}) "
+              f"truth ({tn[0]:.2f},{tn[1]:.2f}) -> err {err:.2f} m"
+              + ("  FALSE" if err > false_thresh else ""))
+    n_false = sum(1 for e in align_errs if e > false_thresh)
+    # revisit opportunities: keyframes whose TRUE pose passes within
+    # closure range of an older, separation-eligible keyframe
+    min_sep = slam.keyframes.min_separation
+    n_revisit = sum(
+        1 for i in range(len(kf_frames))
+        if any(np.linalg.norm(kf_truth[i, :2] - kf_truth[j, :2]) < 2.0
+               for j in range(0, i - min_sep))
+    )
+    n_cl = len(align_errs)
+    print(f"  closure quality: {n_cl}/{n_revisit} revisit "
+          f"opportunities closed, {n_false} false (aligned err > "
+          f"{false_thresh} m), mean aligned err "
+          f"{np.mean(align_errs) if align_errs else float('nan'):.2f} m")
     print(f"keyframe trajectory ({len(kf_frames)} keyframes, "
           f"{len(slam.keyframes.closures)} loop closures):")
     print(f"  mean xy error before backend {kf_err(before):.3f} m "
@@ -443,6 +484,12 @@ def main():
         "closures": int(len(slam.keyframes.closures)),
         "kf_xy_before_m": round(float(kf_err(before)), 3),
         "kf_xy_after_m": round(float(kf_err(after)), 3),
+        "revisit_opportunities": int(n_revisit),
+        "false_closures": int(n_false),
+        "closure_align_err_mean_m": (
+            round(float(np.mean(align_errs)), 3) if align_errs else None
+        ),
+        "solver": args.solver,
         "pool_dtype": args.pool_dtype,
     }))
 

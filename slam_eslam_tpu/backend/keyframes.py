@@ -87,8 +87,23 @@ class KeyframeManager:
         # to within the fine sweep's range first.
         self.align_coarse = align_coarse
         self.builder = pgr.PoseGraphBuilder(max_nodes, max_edges)
+        # jitted alignment/merge seams: keyframe clouds arrive at one
+        # fixed padded shape (``OnlineSlam._local_map_cloud``), so each
+        # (steps, shape) combination compiles once — the eager sweeps
+        # recompiled per keyframe at stretch scale
+        import jax as _jax
+
+        self._align_jit = _jax.jit(
+            pgr.scan_align,
+            static_argnames=("steps_xy", "steps_yaw", "steps_z",
+                             "return_ratio"),
+        )
+        self._merge_jit = _jax.jit(mls_grid.merge_cloud)
         self.keyframes: list[Keyframe] = []
         self.closures: list[tuple] = []
+        # per-closure diagnostics (aligned pose, score, ratio) for
+        # closure-quality reporting — parallel to ``closures``
+        self.closure_details: list[dict] = []
         self._optimized_edges = 0  # edges present at the last optimize
 
     def _rel_pose(self, a, b):
@@ -112,7 +127,7 @@ class KeyframeManager:
             [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
             jnp.float32,
         )
-        return mls_grid.merge_cloud(
+        return self._merge_jit(
             g, kf.cloud, r, jnp.asarray(kf.pose[:2], jnp.float32),
             jnp.asarray(kf.z, jnp.float32), jnp.asarray(0.0), 0,
         )
@@ -172,7 +187,7 @@ class KeyframeManager:
             yaw0 = jnp.asarray(kf.pose[2], jnp.float32)
             if self.align_coarse is not None:
                 csearch, csteps, csigma = self.align_coarse
-                xy0, yaw0, _ = pgr.scan_align(
+                xy0, yaw0, _ = self._align_jit(
                     grid, probe_cloud, xy0, yaw0,
                     jnp.asarray(kf.z, jnp.float32),
                     search_xy=csearch,
@@ -183,7 +198,7 @@ class KeyframeManager:
                     search_z=self.align_search_z,
                     steps_z=self.align_steps_z,
                 )
-            xy, yaw, score, ratio = pgr.scan_align(
+            xy, yaw, score, ratio = self._align_jit(
                 grid, probe_cloud, xy0, yaw0,
                 jnp.asarray(kf.z, jnp.float32),
                 search_xy=self.align_search_xy,
@@ -212,6 +227,11 @@ class KeyframeManager:
             info=jnp.eye(3) * self.closure_info * float(score),
         )
         self.closures.append((old.index, kf.index, float(score)))
+        self.closure_details.append(dict(
+            old=old.index, new=kf.index, score=float(score),
+            ratio=float(ratio), corrected=corrected,
+            believed=kf.pose.copy(),
+        ))
         return (old.index, kf.index, float(score))
 
     def optimize(self, iters=10, incremental=False, margin=3,

@@ -175,6 +175,16 @@ class OnlineSlam:
             return None
         if a.shape[0] > max_points:
             a = a[np.linspace(0, a.shape[0] - 1, max_points, dtype=int)]
+        # pad to a FIXED size so every keyframe cloud has one shape:
+        # scan_align/merge_cloud jit-compile once instead of once per
+        # keyframe (match_cloud normalises by the valid count, so
+        # padding does not dilute scores) — at stretch scale the
+        # per-keyframe recompiles dominated the whole run
+        n_pts = a.shape[0]
+        if n_pts < max_points:
+            a = np.concatenate(
+                [a, np.zeros((max_points - n_pts, 4), np.float32)]
+            )
         # world -> keyframe body frame (yaw-compensated; z relative to
         # the keyframe's believed z, matching scan clouds)
         c, s = np.cos(kf_pose[2]), np.sin(kf_pose[2])
@@ -186,7 +196,7 @@ class OnlineSlam:
             ),
             z=jnp.asarray(a[:, 2] - kf_pose[3]),
             stdev=jnp.asarray(np.maximum(a[:, 3], 0.01)),
-            valid=jnp.ones((a.shape[0],), bool),
+            valid=jnp.asarray(np.arange(max_points) < n_pts),
         )
 
     def _submap(self, kf_pose):

@@ -58,6 +58,15 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace-dir", default="/tmp/slam_trace")
+    ap.add_argument("--wheel-delta", type=float, default=0.3,
+                    dest="wheel_delta",
+                    help="wheel advance per step (10 frames); ~4.7 "
+                    "makes the 0.1 m reference measurement gate fire "
+                    "EVERY frame (measurement-heavy platforms)")
+    ap.add_argument("--gate", default="",
+                    help="'dist,angle_deg' override of the "
+                    "measurement gate (reference default 0.1,10); "
+                    "'0,0' = fire every frame regardless of speed")
     args = ap.parse_args()
 
     from slam_eslam_tpu.utils.cache import enable_persistent_cache
@@ -82,14 +91,22 @@ def main():
             0.5 * np.asarray(y)
         )
 
+    gate_kw = {}
+    if args.gate:
+        from slam_eslam_tpu.config import UpdateThreshold
+
+        d, a = (float(v) for v in args.gate.split(","))
+        gate_kw["measurement_threshold"] = UpdateThreshold(
+            d, np.deg2rad(a))
     cfg = dataclasses.replace(
         Config(), particle_count=n, min_effective=n // 2,
         grid_size=10.0, grid_resolution=0.25,
-        map_pool_blocks=n + 64, map_chain_length=3,
+        map_pool_blocks=4 * n, map_chain_length=3,
         map_pool_color=False,
         contact_model=ContactModelConfig(
             contact_point_radius=0.0, min_contacts=2
         ),
+        **gate_kw,
     )
     f = EmbodiedSlamFilter(config=cfg)
     sim = AsguardSim(terrain=terrain)
@@ -110,7 +127,7 @@ def main():
         ])
 
     for _ in range(args.steps):
-        sim.step(wheel_delta=0.3, on_substep=cb)
+        sim.step(wheel_delta=args.wheel_delta, on_substep=cb)
         frame_list[-1][5] = jnp.asarray(True)
     stacked = streaming.stack_frames([tuple(fr) for fr in frame_list])
     frames = len(frame_list)
@@ -128,7 +145,10 @@ def main():
     jax.block_until_ready(aux["centroid"])
     dt = time.time() - t0
     print(f"steady: {dt * 1e3:.1f} ms for {frames} frames "
-          f"({frames / dt:.1f} fps)", flush=True)
+          f"({frames / dt:.1f} fps); "
+          f"measurement fired {int(np.asarray(aux['updated']).sum())}"
+          f"/{frames}, mapped {int(np.asarray(aux['mapped']).sum())}",
+          flush=True)
 
     with jax.profiler.trace(args.trace_dir):
         carry, aux = run(carry0, stacked)
