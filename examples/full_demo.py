@@ -36,8 +36,14 @@ _ROCK_EXTENT = [6.0]
 
 
 def _make_rocks(extent):
-    # rock density thins with extent (raycast cost is linear in rock
-    # count); the route still passes plenty of local relief
+    # density thins ~linearly with extent.  Round-5 A/B: CONSTANT
+    # density at stretch extents (10x more rocks) degraded the
+    # stance-foot odometry (+21% path inflation) and thereby map and
+    # closure quality — uniform same-sized rocks also alias under
+    # closure correlation.  The linear-thinned field tracks at
+    # ~2.4 m/100 m and aligns closures to 0.2-0.7 m once keyframes
+    # anchor at the best particle; raycast cost is density-free
+    # either way (bbox-local rock subset).
     count = int(60 * max(1.0, extent / 6.0))
     return np.stack([
         _rng_rocks.uniform(-extent, extent, count),   # x
@@ -50,7 +56,7 @@ def _make_rocks(extent):
 _ROCKS = _make_rocks(_ROCK_EXTENT[0])
 
 
-def terrain(x, y):
+def terrain(x, y, rocks=None):
     x, y = np.asarray(x, float), np.asarray(y, float)
     # rolling base + a rock field: distinctive local relief gives the
     # contact model and the loop-closure z-correlation something to
@@ -58,10 +64,26 @@ def terrain(x, y):
     # robot's scale)
     base = (0.20 * np.sin(0.9 * x) + 0.16 * np.cos(0.7 * y)
             + 0.10 * np.sin(2.3 * x + 0.8 * y))
-    d2 = ((x[..., None] - _ROCKS[:, 0]) ** 2
-          + (y[..., None] - _ROCKS[:, 1]) ** 2)
-    rocks = (_ROCKS[:, 2] * np.exp(-d2 / (2 * _ROCKS[:, 3] ** 2))).sum(-1)
-    return base + rocks
+    if rocks is None:
+        rocks = _ROCKS
+    if x.size * len(rocks) > 5e7:
+        # chunk large grid evaluations (hash/terrain surveys at
+        # stretch extents would otherwise broadcast a multi-GB array)
+        flat_x, flat_y = x.reshape(-1), y.reshape(-1)
+        out = np.empty(flat_x.shape, float)
+        step = max(1, int(5e7 / max(len(rocks), 1)))
+        for i in range(0, flat_x.size, step):
+            sl = slice(i, i + step)
+            d2 = ((flat_x[sl, None] - rocks[:, 0]) ** 2
+                  + (flat_y[sl, None] - rocks[:, 1]) ** 2)
+            out[sl] = (
+                rocks[:, 2] * np.exp(-d2 / (2 * rocks[:, 3] ** 2))
+            ).sum(-1)
+        return base + out.reshape(x.shape)
+    d2 = ((x[..., None] - rocks[:, 0]) ** 2
+          + (y[..., None] - rocks[:, 1]) ** 2)
+    r = (rocks[:, 2] * np.exp(-d2 / (2 * rocks[:, 3] ** 2))).sum(-1)
+    return base + r
 
 
 def color_of(x, y):
@@ -77,7 +99,17 @@ def raycast(origins, dirs, t_min=0.25, t_max=3.2, dt=0.02):
     Returns parametric t [R] (inf = no hit within range)."""
     ts = np.arange(t_min, t_max, dt)
     p = origins[:, None, :] + ts[None, :, None] * dirs[:, None, :]
-    below = p[..., 2] <= terrain(p[..., 0], p[..., 1])
+    # only rocks whose 6-sigma support overlaps the ray bundle's bbox
+    # contribute (tails beyond 6 sigma are < 1e-8 m); at stretch
+    # extents this takes the per-scan cost from ~2.5 s (all ~550
+    # rocks x every sample point) to ~30 ms
+    xy = p[..., :2].reshape(-1, 2)
+    pad = 6.0 * _ROCKS[:, 3].max()
+    lo, hi = xy.min(0) - pad, xy.max(0) + pad
+    sel = ((_ROCKS[:, 0] >= lo[0]) & (_ROCKS[:, 0] <= hi[0])
+           & (_ROCKS[:, 1] >= lo[1]) & (_ROCKS[:, 1] <= hi[1]))
+    below = p[..., 2] <= terrain(p[..., 0], p[..., 1],
+                                 rocks=_ROCKS[sel])
     first = np.argmax(below, axis=1)
     hit = below.any(axis=1)
     return np.where(hit, ts[first], np.inf)
@@ -162,6 +194,17 @@ def main():
                     dest="min_score",
                     help="closure acceptance score; raise on "
                     "self-similar stretch terrain")
+    ap.add_argument("--save-graph", default="", dest="save_graph",
+                    help="dump the keyframe graph + clouds + truth to "
+                    "this .npz before optimisation (offline backend/"
+                    "alignment experiments without re-running the "
+                    "drive)")
+    ap.add_argument("--log-cache", default="", dest="log_cache",
+                    help="path prefix: reuse <prefix>.eslg + "
+                    "<prefix>.truth.npy if present, else record there "
+                    "(the stretch record phase is ~20 min of host "
+                    "raycasting; cache key = the route flags, caller's "
+                    "responsibility)")
     ap.add_argument("--turn-steps", type=int, default=0,
                     dest="turn_steps",
                     help="U-turn duration in steps (0 = steps/8); the "
@@ -169,6 +212,22 @@ def main():
                     "turn path length — keep tight (~8) on stretch "
                     "routes so the return leg re-crosses the out-leg "
                     "ground")
+    ap.add_argument("--legs", type=int, default=2,
+                    help="straight legs in the drive (legs-1 U-turns); "
+                    "4 = two out-and-back laps, giving lap-2 closures "
+                    "against low-drift lap-1 keyframes — the regime "
+                    "where the pose-graph backend genuinely reduces "
+                    "absolute error")
+    ap.add_argument("--yaw-prior", type=float, default=1e4,
+                    dest="yaw_prior",
+                    help="absolute IMU-heading prior info per keyframe "
+                    "(0 = off); without it the optimiser bends the "
+                    "trajectory through yaw to absorb closure misfit")
+    ap.add_argument("--consist", type=float, default=1.0,
+                    help="median-consistency closure prune threshold "
+                    "in metres (0 = off): a closure whose implied "
+                    "world correction disagrees with its neighbours' "
+                    "is an along-track mis-lock")
     ap.add_argument("--solver", choices=["dense", "schur"],
                     default="dense",
                     help="pose-graph backend solver; stretch runs use "
@@ -215,6 +274,8 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     path = os.path.join(tempfile.mkdtemp(), "loop.eslg")
+    if args.log_cache:
+        path = args.log_cache + ".eslg"
 
     # sensor rigs -----------------------------------------------------
     n_rays = 180
@@ -244,13 +305,23 @@ def main():
     sim = AsguardSim(terrain=terrain)
     truth, t_count = [], [0]
     turn_steps = args.turn_steps or max(4, args.steps // 8)
-    leg = (args.steps - turn_steps) // 2
+    n_turns = max(1, args.legs - 1)
+    leg = (args.steps - n_turns * turn_steps) // args.legs
+    period = leg + turn_steps
 
     def world_rot(yaw):
         c, s = np.cos(yaw), np.sin(yaw)
         return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
 
-    with logio.LogWriter(path) as w:
+    cache_hit = args.log_cache and os.path.exists(path) and \
+        os.path.exists(args.log_cache + ".truth.npy")
+    if cache_hit:
+        truth = list(np.load(args.log_cache + ".truth.npy"))
+        t_count[0] = len(truth)
+        print(f"log cache hit: {path} ({len(truth)} frames) — "
+              "route params must match the recording")
+    if not cache_hit:
+      with logio.LogWriter(path) as w:
 
         def record(s, scan=False, camera=False):
             ts = t_count[0] * 10_000_000
@@ -293,7 +364,8 @@ def main():
 
         record(sim)
         for k in range(args.steps):
-            turning = leg <= k < leg + turn_steps
+            turning = (k < n_turns * period
+                       and k % period >= leg)
             yr = np.pi / turn_steps if turning else 0.0
             subs = []
             sim.step(wheel_delta=args.wheel_delta, yaw_rate=yr,
@@ -304,8 +376,11 @@ def main():
                                  and len(subs) == 5 and k % 2 == 0),
                      ))
     n_frames = t_count[0]
-    print(f"recorded {n_frames} frames ({args.steps} scans) -> {path} "
-          f"({os.path.getsize(path) / 1024:.0f} KiB)")
+    if not cache_hit:
+        if args.log_cache:
+            np.save(args.log_cache + ".truth.npy", np.stack(truth))
+        print(f"recorded {n_frames} frames ({args.steps} scans) -> "
+              f"{path} ({os.path.getsize(path) / 1024:.0f} KiB)")
 
     # ---- phase 2: OnlineSlam replay ---------------------------------
     cfg = dataclasses.replace(
@@ -346,12 +421,17 @@ def main():
         keyframe_kw=dict(
             keyframe_distance=args.keyframe_distance,
             closure_radius=args.closure_radius,
+            # 64 cells @ 0.2 m = 12.8 m keyframe grids: candidate
+            # pairing under drift can be several metres off-centre and
+            # the probe cloud must still land fully on the grid
+            grid_cells=64,
             align_coarse=args.align_coarse,
             min_separation=(args.min_separation or max(
                 3, int(args.closure_radius / args.keyframe_distance) + 2
             )),
             min_score=args.min_score, min_ratio=args.min_ratio,
             closure_info=args.closure_info,
+            yaw_prior_info=args.yaw_prior,
             # the sweep must span the drift accumulated around the turn
             # yaw rides the IMU (near-zero drift): keep the yaw sweep
             # tight so xy ambiguity cannot masquerade as rotation
@@ -420,11 +500,42 @@ def main():
 
     kf_frames = np.asarray(slam.keyframe_frames)
     kf_truth = np.stack(truth)[kf_frames]
+    if args.save_graph:
+        km = slam.keyframes
+        g = km.builder.graph
+        np.savez_compressed(
+            args.save_graph,
+            nodes=np.asarray(g.nodes), node_valid=np.asarray(g.node_valid),
+            edge_i=np.asarray(g.edge_i), edge_j=np.asarray(g.edge_j),
+            edge_z=np.asarray(g.edge_z), edge_info=np.asarray(g.edge_info),
+            edge_valid=np.asarray(g.edge_valid),
+            kf_poses=np.stack([k.pose for k in km.keyframes]),
+            kf_zs=np.asarray([k.z for k in km.keyframes]),
+            kf_frames=kf_frames, kf_truth=kf_truth,
+            clouds_xy=np.stack(
+                [np.asarray(k.cloud.xy) for k in km.keyframes]),
+            clouds_z=np.stack(
+                [np.asarray(k.cloud.z) for k in km.keyframes]),
+            clouds_stdev=np.stack(
+                [np.asarray(k.cloud.stdev) for k in km.keyframes]),
+            clouds_valid=np.stack(
+                [np.asarray(k.cloud.valid) for k in km.keyframes]),
+            closures=np.asarray(
+                [(d["old"], d["new"], d["score"], d["ratio"])
+                 for d in km.closure_details]).reshape(-1, 4),
+            corrected=np.asarray(
+                [d["corrected"] for d in km.closure_details]
+            ).reshape(-1, 3),
+        )
+        print(f"graph dump -> {args.save_graph}")
     before = slam.trajectory()
+    n_pruned = (slam.keyframes.prune_closures(args.consist)
+                if args.consist > 0 else 0)
     # robust=None: the DCS kernel would treat the (score-verified) large
     # closure corrections as outliers and zero them out — drift >> odom
-    # noise is exactly the regime a verified closure must dominate
-    traj, hist = slam.optimize(iters=20, incremental=False, robust=None,
+    # noise is exactly the regime a verified closure must dominate;
+    # outlier rejection is the median-consistency prune above
+    traj, hist = slam.optimize(iters=40, incremental=False, robust=None,
                                solver=args.solver)
     after = np.asarray(traj)
 
@@ -433,23 +544,44 @@ def main():
             np.asarray(t)[:, :2] - kf_truth[:, :2], axis=1
         ).mean()
 
-    # closure quality vs ground truth (the sim knows the true poses):
-    # a TRUE closure's aligned pose lands on the truth; a FALSE one
-    # (self-similar-terrain mismatch) lands metres away
+    # closure quality vs ground truth (the sim knows the true poses).
+    # The alignment lands in the OLD keyframe's (drifted) frame, so
+    # the honest metric is the closure EDGE's relative pose vs the
+    # true relative pose between the two frames — comparing the
+    # aligned pose to absolute truth would mostly measure the old
+    # keyframe's own drift (round-5 find)
+    def rel2d(a, b):
+        """Pose of b in a's frame; a, b = (x, y, yaw)."""
+        c, s = np.cos(a[2]), np.sin(a[2])
+        dt = np.asarray(b[:2]) - np.asarray(a[:2])
+        return np.array([
+            c * dt[0] + s * dt[1], -s * dt[0] + c * dt[1],
+            np.arctan2(np.sin(b[2] - a[2]), np.cos(b[2] - a[2])),
+        ])
+
     false_thresh = 0.75
     align_errs = []
+    tr_all = np.stack(truth)
     for det in slam.keyframes.closure_details:
-        tn = np.stack(truth)[kf_frames[det["new"]]]
-        bn = det["believed"]
-        err = float(np.linalg.norm(det["corrected"][:2] - tn[:2]))
+        t_old = tr_all[kf_frames[det["old"]]][[0, 1, 3]]
+        t_new = tr_all[kf_frames[det["new"]]][[0, 1, 3]]
+        old_believed = slam.keyframes.keyframes[det["old"]].pose
+        rel_edge = rel2d(old_believed, det["corrected"])
+        rel_true = rel2d(t_old, t_new)
+        err = float(np.linalg.norm(rel_edge[:2] - rel_true[:2]))
         align_errs.append(err)
         print(f"  closure kf{det['old']} <- kf{det['new']} "
               f"(score {det['score']:.3f} ratio {det['ratio']:.2f}): "
-              f"believed ({bn[0]:.2f},{bn[1]:.2f}) aligned "
-              f"({det['corrected'][0]:.2f},{det['corrected'][1]:.2f}) "
-              f"truth ({tn[0]:.2f},{tn[1]:.2f}) -> err {err:.2f} m"
-              + ("  FALSE" if err > false_thresh else ""))
+              f"edge rel ({rel_edge[0]:.2f},{rel_edge[1]:.2f}) "
+              f"true rel ({rel_true[0]:.2f},{rel_true[1]:.2f}) "
+              f"-> err {err:.2f} m"
+              + ("  FALSE" if err > false_thresh else "")
+              + ("  PRUNED" if det.get("pruned") else ""))
     n_false = sum(1 for e in align_errs if e > false_thresh)
+    kept = [(e, d) for e, d in
+            zip(align_errs, slam.keyframes.closure_details)
+            if not d.get("pruned")]
+    n_false_used = sum(1 for e, _ in kept if e > false_thresh)
     # revisit opportunities: keyframes whose TRUE pose passes within
     # closure range of an older, separation-eligible keyframe
     min_sep = slam.keyframes.min_separation
@@ -462,7 +594,8 @@ def main():
     print(f"  closure quality: {n_cl}/{n_revisit} revisit "
           f"opportunities closed, {n_false} false (aligned err > "
           f"{false_thresh} m), mean aligned err "
-          f"{np.mean(align_errs) if align_errs else float('nan'):.2f} m")
+          f"{np.mean(align_errs) if align_errs else float('nan'):.2f} m"
+          f"; prune kept {len(kept)} ({n_false_used} false)")
     print(f"keyframe trajectory ({len(kf_frames)} keyframes, "
           f"{len(slam.keyframes.closures)} loop closures):")
     print(f"  mean xy error before backend {kf_err(before):.3f} m "
@@ -486,6 +619,9 @@ def main():
         "kf_xy_after_m": round(float(kf_err(after)), 3),
         "revisit_opportunities": int(n_revisit),
         "false_closures": int(n_false),
+        "closures_used": int(len(kept)),
+        "false_closures_used": int(n_false_used),
+        "pruned_closures": int(n_pruned),
         "closure_align_err_mean_m": (
             round(float(np.mean(align_errs)), 3) if align_errs else None
         ),

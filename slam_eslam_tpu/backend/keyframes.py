@@ -44,7 +44,9 @@ class KeyframeManager:
                  min_separation=5, min_score=0.35, min_ratio=1.0,
                  grid_resolution=0.2, grid_cells=48,
                  max_nodes=256, max_edges=1024,
-                 odom_info=100.0, closure_info=300.0,
+                 odom_info=100.0, odom_info_yaw=1e4,
+                 closure_info=300.0, closure_info_yaw_scale=0.1,
+                 yaw_prior_info=0.0,
                  align_search_xy=0.5, align_search_yaw=0.3,
                  align_steps_xy=9, align_steps_yaw=7,
                  align_sigma=0.2, align_search_z=0.0, align_steps_z=1,
@@ -66,7 +68,25 @@ class KeyframeManager:
         self.grid_resolution = grid_resolution
         self.grid_cells = grid_cells
         self.odom_info = odom_info
+        # relative yaw between keyframes rides the IMU (the filter's
+        # orientation input is absolute attitude), so odometry edges
+        # are yaw-STIFF: with yaw as loose as xy the optimiser bends
+        # accumulated closure misfit into trajectory rotation — metres
+        # of position error for centiradians of residual (round-5
+        # stretch find: kf ATE 2.3 -> 13 m through yaw bending)
+        self.odom_info_yaw = odom_info_yaw
         self.closure_info = closure_info
+        # scan-align yaw comes from a coarse sweep (~0.075 rad steps):
+        # closure yaw constraints carry proportionally less weight
+        self.closure_info_yaw_scale = closure_info_yaw_scale
+        # ABSOLUTE heading prior per node (yaw-only edges to node 0):
+        # the platform's orientation input is absolute IMU attitude,
+        # so each keyframe's heading is directly observed — without
+        # this the optimiser trades centiradians of trajectory bend
+        # for metres of closure residual (round-5 stretch find).
+        # Callers pass the IMU yaw via ``maybe_add_keyframe(abs_yaw=)``
+        self.yaw_prior_info = yaw_prior_info
+        self._yaw0 = None
         # alignment sweep extent: must cover the expected odometry
         # drift between revisits or closures silently miss
         self.align_search_xy = align_search_xy
@@ -133,7 +153,7 @@ class KeyframeManager:
         )
 
     def maybe_add_keyframe(self, pose_xyyaw, cloud, z=0.0,
-                           probe_cloud=None):
+                           probe_cloud=None, abs_yaw=None):
         """Returns (added, closure_or_None).
 
         ``cloud`` is STORED (what later revisits align against — give
@@ -154,8 +174,24 @@ class KeyframeManager:
             prev = self.keyframes[-1]
             self.builder.add_edge(
                 prev.node_id, node, self._rel_pose(prev.pose, pose),
-                info=jnp.eye(3) * self.odom_info,
+                info=jnp.diag(jnp.asarray([
+                    self.odom_info, self.odom_info,
+                    self.odom_info_yaw,
+                ], jnp.float32)),
             )
+        if self.yaw_prior_info > 0 and abs_yaw is not None:
+            if self._yaw0 is None:
+                self._yaw0 = (float(abs_yaw), float(pose[2]))
+            else:
+                y0_imu, y0_node = self._yaw0
+                self.builder.add_edge(
+                    self.keyframes[0].node_id if self.keyframes
+                    else 0, node,
+                    np.array([0.0, 0.0, float(pgr.wrap_angle(
+                        jnp.asarray(abs_yaw - y0_imu)))]),
+                    info=jnp.diag(jnp.asarray(
+                        [0.0, 0.0, self.yaw_prior_info], jnp.float32)),
+                )
         self.keyframes.append(kf)
 
         closure = self._try_closure(
@@ -222,17 +258,50 @@ class KeyframeManager:
                   f"{kf.pose.round(3)} aligned {corrected.round(3)} "
                   f"score {score:.3f} ratio {ratio:.2f}")
         z_rel = self._rel_pose(old.pose, corrected)
+        ci = self.closure_info * float(score)
         self.builder.add_edge(
             old.node_id, kf.node_id, z_rel,
-            info=jnp.eye(3) * self.closure_info * float(score),
+            info=jnp.diag(jnp.asarray(
+                [ci, ci, ci * self.closure_info_yaw_scale], jnp.float32
+            )),
         )
         self.closures.append((old.index, kf.index, float(score)))
         self.closure_details.append(dict(
             old=old.index, new=kf.index, score=float(score),
             ratio=float(ratio), corrected=corrected,
             believed=kf.pose.copy(),
+            edge=self.builder.n_edges - 1,
         ))
         return (old.index, kf.index, float(score))
+
+    def prune_closures(self, consist=1.0, window=2):
+        """Median-consistency gate over accepted closures: each
+        closure's implied world correction (aligned − believed at the
+        NEW keyframe) should agree with its neighbours' — drift
+        changes slowly, so an inconsistent correction is an
+        along-track mis-lock even when its score is high (round-5
+        stretch find).  Invalidates the pruned closures' edges in the
+        graph and returns the number removed.  Call once before
+        ``optimize``."""
+        det = self.closure_details
+        if len(det) < 3:
+            return 0
+        deltas = np.stack([
+            d["corrected"][:2] - d["believed"][:2] for d in det
+        ])
+        med = np.stack([
+            np.median(deltas[max(0, i - window):i + window + 1], axis=0)
+            for i in range(len(det))
+        ])
+        bad = np.linalg.norm(deltas - med, axis=1) > consist
+        g = self.builder.graph
+        ev = g.edge_valid
+        for d, b in zip(det, bad):
+            if b:
+                ev = ev.at[d["edge"]].set(False)
+                d["pruned"] = True
+        self.builder.graph = dataclasses.replace(g, edge_valid=ev)
+        return int(bad.sum())
 
     def optimize(self, iters=10, incremental=False, margin=3,
                  solver="dense", mesh=None, cg_iters=32, robust=None,

@@ -378,7 +378,18 @@ def make_slam_step(cfg: Config, laser2body=None, hash_=None,
             map_pos=map_pos, map_q=map_q, cam_pos=cam_pos, cam_q=cam_q,
             update_idx=update_idx, alloc_failed=failed,
         )
-        aux = {"centroid": c_pos, "updated": do_update, "mapped": do_map}
+        # best-particle pose (x, y, z, yaw): keyframe clouds extract
+        # from the BEST particle's map, so keyframes must anchor at ITS
+        # pose — anchoring at the centroid mis-places the cloud by the
+        # particle-vs-centroid offset (metres at stretch drift), which
+        # scattered every closure alignment (round-5 find)
+        bi = jnp.argmax(st.particles.weight)
+        best_pose = jnp.stack([
+            st.particles.x[bi], st.particles.y[bi],
+            st.particles.z[bi], st.particles.yaw[bi],
+        ])
+        aux = {"centroid": c_pos, "updated": do_update, "mapped": do_map,
+               "best_pose": best_pose}
         if camera2body is not None:
             aux["cam_mapped"] = do_cam
         return out, aux

@@ -75,10 +75,16 @@ class AsguardConfig:
         z = feet[:, 2].reshape(NUM_WHEELS, FEET_PER_WHEEL)
         lowest = np.zeros_like(z)
         lowest[np.arange(NUM_WHEELS), np.argmin(z, axis=1)] = 1.0
-        return BodyContactState.create(
+        # plain-numpy fields: ``create``'s jnp.asarray would round-trip
+        # every simulated frame through the device (tunnel-dominated
+        # record phases); consumers stack whole frame lists at once
+        c = feet.shape[0]
+        return BodyContactState(
             position=feet.astype(np.float32),
             contact=lowest.reshape(-1).astype(np.float32),
+            slip=np.zeros((c,), np.float32),
             group_id=group.astype(np.int32),
+            valid=np.ones((c,), bool),
         )
 
 
@@ -123,9 +129,12 @@ class AsguardSim:
 
     @property
     def orientation(self):
-        return np.asarray(
-            geometry.quat_from_yaw(np.float32(self.yaw))
-        )
+        # pure numpy: the jnp quat helper dispatched one device op per
+        # frame — ~80 ms over this environment's TPU tunnel, which
+        # quietly dominated long record phases (round-5 find)
+        half = 0.5 * float(self.yaw)
+        return np.array([np.cos(half), 0.0, 0.0, np.sin(half)],
+                        np.float32)
 
     def contact_state(self):
         return self.config.contact_state(self.wheel_pos)

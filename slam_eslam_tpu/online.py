@@ -39,7 +39,8 @@ class OnlineSlam:
     def __init__(self, config: Config = None, laser2body=None,
                  keyframe_kw=None, mesh=None, camera2body=None,
                  camera_intrinsics=None, camera_texture=False,
-                 odometry_config=None, submap_scans=1, donate=False):
+                 odometry_config=None, submap_scans=1, donate=False,
+                 probe_recent=60):
         self.filter = EmbodiedSlamFilter(
             odometry_config=odometry_config, config=config
         )
@@ -65,6 +66,16 @@ class OnlineSlam:
         # donate the scan carry per chunk: halves peak pool HBM
         # (stretch-scale per-particle pools)
         self.donate = donate
+        # keyframe-cloud recency window (in map update counts): the
+        # accumulated per-particle map still holds the OUT-leg terrain
+        # at drifted coordinates when the robot revisits ground — an
+        # unfiltered local-map extract then contains a ghost strip
+        # that correlates perfectly at ZERO correction and drags the
+        # closure alignment toward "no correction" (round-5 stretch
+        # find: systematic 1-2 m along-track closure bias).  Only
+        # patches merged within the last ``probe_recent`` map updates
+        # enter keyframe/probe clouds; None disables.
+        self.probe_recent = probe_recent
         self._recent = []  # [(pose_xyyawz, cloud), ...]
 
     def init(self, pose, **kw):
@@ -86,9 +97,39 @@ class OnlineSlam:
         )
         mapped = np.asarray(aux["mapped"])
         frame_base = self._frame_base
-        self._frame_base += mapped.shape[0]
+        n_chunk = mapped.shape[0]
+        self._frame_base += n_chunk
         if not mapped.any():
             return aux
+        if self.filter.pool is not None:
+            # per-particle-map mode: ONE keyframe opportunity per
+            # chunk, taken at the end-of-chunk state where the pool,
+            # the best-particle index and the best-particle pose are
+            # exactly consistent.  (Round-5 find: anchoring mid-chunk
+            # keyframes at the centroid — or at any pose other than
+            # the one the extracted map lineage believes — mis-places
+            # the cloud by the particle-vs-centroid offset and
+            # scattered every closure alignment.  Keyframe cadence =
+            # chunk travel; size chunks to the desired spacing.)
+            bi = self.filter.get_best_particle_index()
+            p = self.filter.state.particles
+            pose = np.array([float(p.x[bi]), float(p.y[bi]),
+                             float(p.yaw[bi]), float(p.z[bi])])
+            kf_cloud = self._local_map_cloud(pose)
+            if kf_cloud is not None:
+                qs = frames[1]
+                abs_yaw = float(geometry.yaw_from_quat(
+                    jnp.asarray(qs[n_chunk - 1])))
+                added, _closure = self.keyframes.maybe_add_keyframe(
+                    pose[:3], kf_cloud, z=float(pose[3]),
+                    abs_yaw=abs_yaw,
+                )
+                if added:
+                    self.keyframe_frames.append(
+                        frame_base + n_chunk - 1)
+            return aux
+        # shared-map / no-pool mode: per-scan keyframes from composed
+        # raw scan submaps
         cents = np.asarray(aux["centroid"])
         cs, qs, _pos, ranges, scan_meta, _has = frames[:6]
         l_rot = (jnp.eye(3, dtype=jnp.float32) if self.laser2body is None
@@ -113,12 +154,7 @@ class OnlineSlam:
             )
             self._recent.append((pose, cloud))
             self._recent = self._recent[-self.submap_scans:]
-            kf_cloud = self._local_map_cloud(pose)
-            if kf_cloud is None:
-                kf_cloud = self._submap(pose)
-            # probe with the same local-map extract: raw single scans
-            # are 1-D ground curves whose areal correlation false-peaks
-            # (measured) — the accumulated local map aligns reliably
+            kf_cloud = self._submap(pose)
             added, _closure = self.keyframes.maybe_add_keyframe(
                 pose[:3], kf_cloud, z=float(cents[i, 2])
             )
@@ -140,35 +176,57 @@ class OnlineSlam:
 
         best = self.filter.get_best_particle_index()
         chain = np.asarray(pool.chain[best])
+        cur = int(self.filter.update_idx)
+        min_uidx = (cur - self.probe_recent
+                    if self.probe_recent is not None else 0)
         pts = []
-        seen_cells = set()
+        seen = np.zeros((0,), np.int64)
         for b in chain:  # head first: newer grids win
             if b < 0:
                 continue
-            valid = np.asarray(pool.valid[int(b)]).reshape(
-                pool.nx, pool.ny, pool.k
-            )
+            shape = (pool.nx, pool.ny, pool.k)
+            # ONE device slice per field; valid/update_idx decode from
+            # the packed meta word on host (the pool-wide property
+            # views would compute over every block per keyframe)
+            meta = np.asarray(pool.meta[int(b)]).reshape(shape)
+            valid = (meta & 1) != 0
+            if min_uidx > 0:
+                # recency gate (see ``probe_recent``)
+                valid &= (meta >> 2) >= min_uidx
+            if not valid.any():
+                continue
             mean = np.asarray(
                 pool.mean[int(b)], np.float32
-            ).reshape(pool.nx, pool.ny, pool.k)
+            ).reshape(shape)
             stdev = np.asarray(
                 pool.stdev[int(b)], np.float32
-            ).reshape(pool.nx, pool.ny, pool.k)
+            ).reshape(shape)
             origin = np.asarray(pool.origin[int(b)])
             ix, iy, sl = np.nonzero(valid)
-            wx = origin[0] + (ix + 0.5) * pool.resolution
-            wy = origin[1] + (iy + 0.5) * pool.resolution
-            for j in range(len(ix)):
-                key = (round(float(wx[j]) / pool.resolution),
-                       round(float(wy[j]) / pool.resolution))
-                if key in seen_cells:
-                    continue
-                seen_cells.add(key)
-                pts.append((wx[j], wy[j], mean[ix[j], iy[j], sl[j]],
-                            stdev[ix[j], iy[j], sl[j]]))
+            wx = (origin[0] + (ix + 0.5) * pool.resolution).astype(
+                np.float32)
+            wy = (origin[1] + (iy + 0.5) * pool.resolution).astype(
+                np.float32)
+            key = (np.round(wx / pool.resolution).astype(np.int64)
+                   * 1_000_003
+                   + np.round(wy / pool.resolution).astype(np.int64))
+            # first slot per cell wins within the block; earlier
+            # (newer) chain blocks win across blocks
+            _, first = np.unique(key, return_index=True)
+            keep = np.zeros(len(key), bool)
+            keep[first] = True
+            if seen.size:
+                keep &= ~np.isin(key, seen)
+            if not keep.any():
+                continue
+            seen = np.concatenate([seen, key[keep]])
+            pts.append(np.stack([
+                wx[keep], wy[keep], mean[ix, iy, sl][keep],
+                stdev[ix, iy, sl][keep],
+            ], axis=1))
         if not pts:
             return None
-        a = np.asarray(pts, np.float32)
+        a = np.concatenate(pts).astype(np.float32)
         d = np.hypot(a[:, 0] - kf_pose[0], a[:, 1] - kf_pose[1])
         a = a[d <= radius]
         if a.shape[0] == 0:

@@ -1,0 +1,144 @@
+"""Offline closure/backend lab on a ``full_demo --save-graph`` dump.
+
+Round-5 stretch finding: loop closures on the 100 m out-and-back route
+lock cross-track but slip along-track (self-similar route strip), so
+~3/4 of closure edges carry 1-6 m of along-track error and a
+non-robust Gauss-Newton solve makes the keyframe ATE WORSE
+(2.3 m -> 13 m).  This lab re-optimises the dumped graph under
+different edge-selection / robust-kernel policies without re-running
+the drive:
+
+  none        all closure edges, robust=None (what the demo did)
+  huber       Huber kernel, delta sweep
+  dcs         Dynamic Covariance Scaling, delta sweep
+  median      host-side consistency gate: keep closures whose implied
+              world correction agrees with the local median within
+              --consist m, then robust=None on the survivors
+  median+dcs  both
+  oracle      ground-truth gate (edge rel error < 0.75 m) — the upper
+              bound any gate could reach
+
+Usage: python tools/closure_lab.py /tmp/stretch/graph660.npz
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+
+def rel2d(a, b):
+    c, s = np.cos(a[2]), np.sin(a[2])
+    dt = np.asarray(b[:2]) - np.asarray(a[:2])
+    return np.array([
+        c * dt[0] + s * dt[1], -s * dt[0] + c * dt[1],
+        np.arctan2(np.sin(b[2] - a[2]), np.cos(b[2] - a[2])),
+    ])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dump")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--consist", type=float, default=1.0)
+    ap.add_argument("--solver", default="dense",
+                    choices=["dense", "schur"])
+    args = ap.parse_args()
+
+    d = np.load(args.dump)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from slam_eslam_tpu.backend import pose_graph as pgr
+
+    nodes = d["nodes"]
+    n_nodes = int(d["node_valid"].sum())
+    n_edges = int(d["edge_valid"].sum())
+    kf_truth = d["kf_truth"]
+    kf_poses = d["kf_poses"]
+    closures = d["closures"]          # [C, 4] old, new, score, ratio
+    corrected = d["corrected"]        # [C, 3]
+
+    # identify closure edges: every non-consecutive (i, j) pair
+    ei, ej = d["edge_i"][:n_edges], d["edge_j"][:n_edges]
+    is_closure = (ej - ei) != 1
+
+    # per-closure truth: edge rel vs true rel (the honest metric)
+    tp = kf_truth[:, [0, 1, 3]]
+    errs = []
+    for (o, nw, _s, _r), corr in zip(closures, corrected):
+        o, nw = int(o), int(nw)
+        errs.append(np.linalg.norm(
+            rel2d(kf_poses[o], corr)[:2] - rel2d(tp[o], tp[nw])[:2]))
+    errs = np.array(errs) if len(closures) else np.zeros((0,))
+    # map closure list onto closure edges (same insertion order)
+    cl_edge_idx = np.nonzero(is_closure)[0]
+    assert len(cl_edge_idx) == len(errs), (len(cl_edge_idx), len(errs))
+
+    # implied world correction of each closure (drift estimate at the
+    # NEW keyframe) — smooth in time for TRUE closures, jumpy for
+    # along-track slips
+    deltas = corrected[:, :2] - kf_poses[closures[:, 1].astype(int), :2]
+
+    def median_gate(consist):
+        keep = np.ones(len(closures), bool)
+        if len(closures) >= 3:
+            med = np.stack([
+                np.median(deltas[max(0, i - 2):i + 3], axis=0)
+                for i in range(len(closures))
+            ])
+            keep = np.linalg.norm(deltas - med, axis=1) <= consist
+        return keep
+
+    def run(keep_mask, robust, delta):
+        ev = d["edge_valid"].copy()
+        ev[cl_edge_idx[~keep_mask]] = False
+        g = pgr.PoseGraph(
+            nodes=jnp.asarray(nodes), node_valid=jnp.asarray(d["node_valid"]),
+            edge_i=jnp.asarray(d["edge_i"]), edge_j=jnp.asarray(d["edge_j"]),
+            edge_z=jnp.asarray(d["edge_z"]),
+            edge_info=jnp.asarray(d["edge_info"]),
+            edge_valid=jnp.asarray(ev),
+        )
+        opt = pgr.optimize_schur if args.solver == "schur" else pgr.optimize
+        g2, hist = opt(g, iters=args.iters, robust=robust,
+                       robust_delta=delta)
+        out = np.asarray(g2.nodes[:n_nodes])
+        ate = np.linalg.norm(out[:, :2] - kf_truth[:, :2], axis=1).mean()
+        return ate, float(hist[-1])
+
+    before = np.linalg.norm(
+        nodes[:n_nodes, :2] - kf_truth[:, :2], axis=1).mean()
+    good = errs < 0.75
+    print(f"{n_nodes} nodes, {n_edges} edges, {len(closures)} closures "
+          f"({good.sum()} good by truth), kf ATE before {before:.3f} m")
+
+    all_keep = np.ones(len(closures), bool)
+    results = {}
+    results["none"] = run(all_keep, None, 1.0)
+    for delta in (0.5, 1.0, 2.0, 4.0):
+        results[f"huber d={delta}"] = run(all_keep, "huber", delta)
+        results[f"dcs d={delta}"] = run(all_keep, "dcs", delta)
+    mk = median_gate(args.consist)
+    tp_k = (mk & good).sum()
+    print(f"median gate keeps {mk.sum()}/{len(closures)} "
+          f"({tp_k} good, {(mk & ~good).sum()} false kept)")
+    results[f"median c={args.consist}"] = run(mk, None, 1.0)
+    results[f"median+dcs d=1"] = run(mk, "dcs", 1.0)
+    results[f"median+huber d=1"] = run(mk, "huber", 1.0)
+    results["oracle"] = run(good, None, 1.0)
+    results["no-closures"] = run(np.zeros(len(closures), bool), None, 1.0)
+
+    for k, (ate, chi) in results.items():
+        print(f"{k:20s} kf ATE after {ate:7.3f} m   chi2 {chi:10.1f}")
+
+
+if __name__ == "__main__":
+    main()
