@@ -149,6 +149,15 @@ def main():
                     "wide — faithful reference behaviour, but it costs "
                     "tracking accuracy on this figure-8-free route)")
     ap.add_argument("--no-camera", action="store_true")
+    ap.add_argument("--hash-lost", type=float, default=0.2,
+                    dest="hash_lost",
+                    help="health gate for hash reinjection "
+                    "(SurfaceHashConfig.lost_threshold): inject only "
+                    "while the decayed max weight is below this; "
+                    "0 = reference-faithful unconditional injection "
+                    "(measured 33.4 m ATE on the stretch route — the "
+                    "kidnapped-robot insurance teleports the cloud on "
+                    "signature-ambiguous terrain)")
     ap.add_argument("--wheel-delta", type=float, default=0.32,
                     dest="wheel_delta",
                     help="wheel advance per step (rad); larger = longer "
@@ -228,6 +237,13 @@ def main():
                     "in metres (0 = off): a closure whose implied "
                     "world correction disagrees with its neighbours' "
                     "is an along-track mis-lock")
+    ap.add_argument("--robust", choices=["none", "dcs", "huber"],
+                    default="none",
+                    help="robust kernel for the backend solve; 'dcs' "
+                    "measured best on the stretch route "
+                    "(tools/closure_lab.py round 5)")
+    ap.add_argument("--robust-delta", type=float, default=1.0,
+                    dest="robust_delta")
     ap.add_argument("--solver", choices=["dense", "schur"],
                     default="dense",
                     help="pose-graph backend solver; stretch runs use "
@@ -456,7 +472,9 @@ def main():
             terrain, nx=hn, ny=hn, resolution=0.25, origin=(-hx, -hx)
         )
         slam.filter.hash = sh.SurfaceHash.create(
-            SurfaceHashConfig(use_hash=True, period=20), hash_grid
+            SurfaceHashConfig(use_hash=True, period=20,
+                              lost_threshold=args.hash_lost),
+            hash_grid
         )
 
     if args.no_camera:
@@ -531,11 +549,17 @@ def main():
     before = slam.trajectory()
     n_pruned = (slam.keyframes.prune_closures(args.consist)
                 if args.consist > 0 else 0)
-    # robust=None: the DCS kernel would treat the (score-verified) large
-    # closure corrections as outliers and zero them out — drift >> odom
-    # noise is exactly the regime a verified closure must dominate;
-    # outlier rejection is the median-consistency prune above
-    traj, hist = slam.optimize(iters=40, incremental=False, robust=None,
+    # robust kernel choice is measured, not assumed
+    # (tools/closure_lab.py on the round-5 8k stretch dump): with
+    # score/ratio-gated closures DCS keeps the verified edges and
+    # zeroes residual along-track mis-locks (1.92-1.96 m vs 3.86 m
+    # un-robustified when false closures slip the gates); 'none'
+    # remains for drift >> odometry-noise regimes where a verified
+    # closure's large correction must dominate
+    robust = None if args.robust == "none" else args.robust
+    traj, hist = slam.optimize(iters=40, incremental=False,
+                               robust=robust,
+                               robust_delta=args.robust_delta,
                                solver=args.solver)
     after = np.asarray(traj)
 
@@ -626,6 +650,7 @@ def main():
             round(float(np.mean(align_errs)), 3) if align_errs else None
         ),
         "solver": args.solver,
+        "robust": args.robust,
         "pool_dtype": args.pool_dtype,
     }))
 

@@ -41,7 +41,7 @@ class Keyframe:
 
 class KeyframeManager:
     def __init__(self, keyframe_distance=0.5, closure_radius=1.0,
-                 min_separation=5, min_score=0.35, min_ratio=1.0,
+                 min_separation=5, min_score=0.35, min_ratio=1.25,
                  grid_resolution=0.2, grid_cells=48,
                  max_nodes=256, max_edges=1024,
                  odom_info=100.0, odom_info_yaw=1e4,
@@ -64,6 +64,11 @@ class KeyframeManager:
         # false closures ride a FLAT score surface — their absolute
         # score matches true revisits but their peak barely beats the
         # far field.  1.0 disables (ratio >= 1 by construction).
+        # Default 1.25 is measured, not guessed: on the round-5 100 m
+        # stretch dump all 12 ground-truth-false closures had ratio
+        # <= 1.22 while 13/17 true ones exceeded 1.25 — the gate keeps
+        # 14 closures with 0 false (tools/closure_lab.py,
+        # docs/closure_lab_r05.txt).
         self.min_ratio = min_ratio
         self.grid_resolution = grid_resolution
         self.grid_cells = grid_cells

@@ -251,7 +251,7 @@ class SurfaceHash:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _reinject_jit(hash_, state, contact_state, orientation, cfg):
-    import slam_eslam_tpu.filter.pose_estimator as pe  # noqa: F401
+    import slam_eslam_tpu.filter.pose_estimator as pe
     from slam_eslam_tpu.core import filter as pf
 
     p = state.particles
@@ -260,10 +260,20 @@ def _reinject_jit(hash_, state, contact_state, orientation, cfg):
 
     sx, sy = hash_.signature(contact_state, orientation)
     rel = hash_.relevance(sx, sy) ** 3
+    # health gate (see SurfaceHashConfig.lost_threshold): scale the
+    # injected count by how far the decayed max weight has collapsed —
+    # the reference's recovery-spread trigger (PoseEstimator.cpp:224-236)
+    # repurposed as the reinjection gate; 1.0 when lost_threshold == 0
+    # (reference-faithful unconditional injection)
+    lost = 1.0
+    if hash_.config.lost_threshold > 0.0:
+        lost = pe.weighting_function(
+            state.max_weight, 0.0, hash_.config.lost_threshold, 0.0
+        )
     replace_count = jnp.where(
         rel < 0.8,
         0,
-        (n * hash_.config.percentage * rel).astype(jnp.int32),
+        (n * hash_.config.percentage * rel * lost).astype(jnp.int32),
     )
 
     ids, ok = hash_.sample_bucket(k_s, sx, sy, n)

@@ -138,3 +138,44 @@ class TestReinjection:
                     != np.sort(np.asarray(weights))[: int(expect)]).all()
         else:
             np.testing.assert_array_equal(w, np.asarray(weights))
+
+    def test_lost_threshold_gates_on_max_weight(self):
+        """``lost_threshold > 0``: a TRACKING filter (max_weight at or
+        above the threshold) injects nothing; a LOST one (max_weight 0,
+        also the init state) injects the full reference count.  The
+        default 0 stays reference-faithful (covered above)."""
+        grid = simlib.terrain_grid(
+            sloped_terrain, nx=40, ny=40, resolution=0.25,
+            origin=(-5.0, -5.0),
+        )
+        h = SurfaceHash.create(
+            dataclasses.replace(HCFG, percentage=0.5,
+                                lost_threshold=0.2),
+            grid,
+        )
+        cfg = Config(particle_count=16)
+        state = pe.PoseEstimatorState.create(
+            cfg, 20, key=jax.random.PRNGKey(2)
+        )
+        particles = pe.init_gaussian(
+            jax.random.PRNGKey(3), 16, (0, 0), 0.0, (0.1, 0.1),
+            0.05, 0, 0.1,
+        )
+        weights = jnp.linspace(0.01, 1.0, 16)
+        particles = dataclasses.replace(particles, weight=weights)
+        state = dataclasses.replace(state, particles=particles)
+        cs = simlib.conformal_contact_state(
+            np.array([0.0, 0.0, 0.2]), 0.0, sloped_terrain
+        )
+        q = geometry.quat_identity()
+        rel = float(h.relevance(*h.signature(cs, q)) ** 3)
+        if rel < 0.8:  # pragma: no cover - fixture guarantees rel
+            return
+
+        healthy = dataclasses.replace(state, max_weight=jnp.asarray(0.9))
+        w = np.asarray(h.reinject(healthy, cs, q, cfg).particles.weight)
+        np.testing.assert_array_equal(w, np.asarray(weights))
+
+        lost = dataclasses.replace(state, max_weight=jnp.zeros(()))
+        w = np.asarray(h.reinject(lost, cs, q, cfg).particles.weight)
+        assert (w != np.asarray(weights)).sum() == int(16 * 0.5 * rel)

@@ -66,9 +66,12 @@ def main():
     closures = d["closures"]          # [C, 4] old, new, score, ratio
     corrected = d["corrected"]        # [C, 3]
 
-    # identify closure edges: every non-consecutive (i, j) pair
+    # identify closure edges: every non-consecutive (i, j) pair that
+    # carries xy information (IMU yaw-prior edges are also
+    # non-consecutive — kf0 -> node — but their info is diag(0,0,w))
     ei, ej = d["edge_i"][:n_edges], d["edge_j"][:n_edges]
-    is_closure = (ej - ei) != 1
+    xy_info = d["edge_info"][:n_edges, 0, 0] > 0
+    is_closure = ((ej - ei) != 1) & xy_info
 
     # per-closure truth: edge rel vs true rel (the honest metric)
     tp = kf_truth[:, [0, 1, 3]]
@@ -97,14 +100,27 @@ def main():
             keep = np.linalg.norm(deltas - med, axis=1) <= consist
         return keep
 
-    def run(keep_mask, robust, delta):
+    # yaw-prior edges: non-consecutive, zero xy info
+    prior_idx = np.nonzero(((ej - ei) != 1) & ~xy_info)[0]
+
+    odom_idx = np.nonzero((ej - ei) == 1)[0]
+
+    def run(keep_mask, robust, delta, priors=True, yaw_scale=1.0):
         ev = d["edge_valid"].copy()
         ev[cl_edge_idx[~keep_mask]] = False
+        if not priors:
+            ev[prior_idx] = False
+        info = d["edge_info"].copy()
+        if yaw_scale != 1.0:
+            # soften the odometry chain's relative-yaw stiffness: with
+            # yaw rigid (1e4) a closure correction cannot rotate the
+            # chain and its misfit is forced into xy distortion
+            info[odom_idx, 2, 2] *= yaw_scale
         g = pgr.PoseGraph(
             nodes=jnp.asarray(nodes), node_valid=jnp.asarray(d["node_valid"]),
             edge_i=jnp.asarray(d["edge_i"]), edge_j=jnp.asarray(d["edge_j"]),
             edge_z=jnp.asarray(d["edge_z"]),
-            edge_info=jnp.asarray(d["edge_info"]),
+            edge_info=jnp.asarray(info),
             edge_valid=jnp.asarray(ev),
         )
         opt = pgr.optimize_schur if args.solver == "schur" else pgr.optimize
@@ -133,8 +149,40 @@ def main():
     results[f"median c={args.consist}"] = run(mk, None, 1.0)
     results[f"median+dcs d=1"] = run(mk, "dcs", 1.0)
     results[f"median+huber d=1"] = run(mk, "huber", 1.0)
+    # score/ratio acceptance sweep (the gates KeyframeManager applies
+    # at _try_closure time; sweeping them offline on the dump finds the
+    # operating point to bake into the defaults)
+    for ms, mr in ((0.3, 1.25), (0.35, 1.25), (0.3, 1.3), (0.4, 1.2),
+                   (0.3, 1.2)):
+        gk = (closures[:, 2] >= ms) & (closures[:, 3] >= mr)
+        results[f"s>={ms},r>={mr} ({(gk & good).sum()}g/"
+                f"{(gk & ~good).sum()}f)"] = run(gk, None, 1.0)
+        gm = gk & median_gate(args.consist)
+        results[f"s/r+median ({(gm & good).sum()}g/"
+                f"{(gm & ~good).sum()}f)"] = run(gm, None, 1.0)
     results["oracle"] = run(good, None, 1.0)
     results["no-closures"] = run(np.zeros(len(closures), bool), None, 1.0)
+    # prior-free variants: does the IMU yaw prior help or hurt once the
+    # closure set is clean?
+    results["np none"] = run(all_keep, None, 1.0, priors=False)
+    for delta in (0.5, 1.0):
+        results[f"np dcs d={delta}"] = run(all_keep, "dcs", delta,
+                                           priors=False)
+    gk = (closures[:, 2] >= 0.3) & (closures[:, 3] >= 1.25)
+    results[f"np s/r ({(gk & good).sum()}g/{(gk & ~good).sum()}f)"] = \
+        run(gk, None, 1.0, priors=False)
+    results["np s/r+dcs d=1"] = run(gk, "dcs", 1.0, priors=False)
+    results["np oracle"] = run(good, None, 1.0, priors=False)
+    results["np no-closures"] = run(
+        np.zeros(len(closures), bool), None, 1.0, priors=False)
+    # relative-yaw stiffness sweep on the odometry chain (clean
+    # closure set, no absolute priors): can the chain absorb closure
+    # corrections as rotation instead of xy distortion?
+    for ys in (0.3, 0.1, 0.03, 0.01):
+        results[f"np s/r yawx{ys}"] = run(gk, None, 1.0, priors=False,
+                                          yaw_scale=ys)
+        results[f"np orc yawx{ys}"] = run(good, None, 1.0, priors=False,
+                                          yaw_scale=ys)
 
     for k, (ate, chi) in results.items():
         print(f"{k:20s} kf ATE after {ate:7.3f} m   chi2 {chi:10.1f}")
